@@ -1,0 +1,156 @@
+"""JuicyCohere — spectral context-fit matcher.
+
+Capability rebuild of reference src/plugins/JuicyCohere/PluginProcessor.cpp.
+Per block: mono 3-band energy analysis with persistent one-poles at 220/2400 Hz
+(cpp:16-17,62-76); learn mode EMA targets with α=0.02/block (cpp:78-84);
+context-fit readout ``100 − meanAbsDbError·10`` (cpp:86-92); per-band
+compensation gains ``clamp(pow(target/energy, 0.25·match), 0.5..1.8)``
+(cpp:94-96); then a per-channel re-split + recombine with those gains and a
+tail feedback ``tail = matched + tail·decay`` (cpp:99-118).
+
+Reproduced quirk: the per-channel split filters lpA/lpB are zero-reinitialized
+every block (cpp:103-104) while the analysis filters persist.
+
+TPU design: all recurrences here are linear one-poles and leaky integrators →
+associative scans; zero sequential sample loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from juicy_tpu.models import base
+from juicy_tpu.ops.scan_utils import leaky_integrator, onepole_lowpass
+from juicy_tpu.utils.convert import db_to_gain, gain_to_db, jlimit, onepole_coeff
+
+PARAMS = (
+    base.ParamSpec("match", "Spectral Match", 0.0, 1.0, 0.65),
+    base.ParamSpec("learn", "Learn Target", 0.0, 1.0, 0.0, boolean=True),
+    base.ParamSpec("tail", "Tail Coherence", 0.0, 1.0, 0.45),
+    base.ParamSpec("decay", "Tail Decay", 0.1, 0.95, 0.65),
+    base.mix_param(1.0),
+    base.output_param(-18.0, 18.0, 0.0),
+    base.ParamSpec("contextfit", "Context Fit", 0.0, 100.0, 0.0, readonly=True),
+    base.juiciness_param(),
+)
+
+PRESETS = ()  # the reference declares no presets for Cohere
+
+
+def init(sr: float, channels: int):
+    """Persistent: learned band targets (0.2 defaults, PluginProcessor.h:55-57),
+    analysis one-poles, per-channel tails, and the last context-fit readout."""
+    del sr
+    return {
+        "target_low": jnp.float32(0.2),
+        "target_mid": jnp.float32(0.2),
+        "target_high": jnp.float32(0.2),
+        "analysis_low": jnp.float32(0.0),
+        "analysis_high": jnp.float32(0.0),
+        "tail": jnp.zeros((channels,), jnp.float32),
+        "context_fit": jnp.float32(0.0),
+    }
+
+
+def process(params, carry, block, sr: float):
+    block = jnp.asarray(block, jnp.float32)
+    channels = block.shape[-2]
+    n = block.shape[-1]
+
+    match_amt = jnp.asarray(params["match"], jnp.float32)
+    learn = jnp.asarray(params["learn"], jnp.float32) > jnp.float32(0.5)
+    tail_amt = jnp.asarray(params["tail"], jnp.float32)
+    decay = jnp.asarray(params["decay"], jnp.float32)
+    mix = jnp.asarray(params["mix"], jnp.float32)
+    out_gain = db_to_gain(params["output"])
+
+    low_coeff = onepole_coeff(220.0, sr)
+    high_coeff = onepole_coeff(2400.0, sr)
+    eps = jnp.float32(1.0e-6)
+
+    # --- block-level mono 3-band analysis (cpp:62-76), persistent filters ---
+    ch1 = min(1, channels - 1)
+    mono = jnp.float32(0.5) * (block[..., 0, :] + block[..., ch1, :])
+    low_lp = onepole_lowpass(mono, low_coeff, carry["analysis_low"])
+    high_lp = onepole_lowpass(mono, high_coeff, carry["analysis_high"])
+    low = low_lp
+    high = mono - high_lp
+    mid = mono - low - high
+    inv_n = jnp.float32(1.0 / max(1, n))
+    low_e = jnp.sum(low * low, axis=-1) * inv_n
+    mid_e = jnp.sum(mid * mid, axis=-1) * inv_n
+    high_e = jnp.sum(high * high, axis=-1) * inv_n
+
+    # --- learn-mode EMA targets (cpp:78-84) ---
+    a = jnp.float32(0.02)
+    t_low = jnp.where(learn, carry["target_low"] + (low_e - carry["target_low"]) * a,
+                      carry["target_low"])
+    t_mid = jnp.where(learn, carry["target_mid"] + (mid_e - carry["target_mid"]) * a,
+                      carry["target_mid"])
+    t_high = jnp.where(learn, carry["target_high"] + (high_e - carry["target_high"]) * a,
+                       carry["target_high"])
+
+    # --- context-fit readout (cpp:86-92) ---
+    low_err = jnp.abs(gain_to_db((low_e + eps) / (t_low + eps)))
+    mid_err = jnp.abs(gain_to_db((mid_e + eps) / (t_mid + eps)))
+    high_err = jnp.abs(gain_to_db((high_e + eps) / (t_high + eps)))
+    deviation = (low_err + mid_err + high_err) / jnp.float32(3.0)
+    context_fit = jlimit(0.0, 100.0, jnp.float32(100.0) - deviation * jnp.float32(10.0))
+
+    # --- per-band compensation gains (cpp:94-96) ---
+    expo = jnp.float32(0.25) * match_amt
+    low_comp = jlimit(0.5, 1.8, jnp.power((t_low + eps) / (low_e + eps), expo))
+    mid_comp = jlimit(0.5, 1.8, jnp.power((t_mid + eps) / (mid_e + eps), expo))
+    high_comp = jlimit(0.5, 1.8, jnp.power((t_high + eps) / (high_e + eps), expo))
+    fb = jlimit(0.0, 0.93, decay)
+
+    # --- per-channel render (cpp:99-118): split filters reset to zero each
+    # block (quirk, cpp:103-104); tails persist per channel ---
+    def bb(v):
+        v = jnp.asarray(v, jnp.float32)
+        return v if v.ndim == 0 else v[..., None, None]
+
+    dry = block
+    zero = jnp.zeros(block.shape[:-1], jnp.float32)
+    lp_a = onepole_lowpass(dry, low_coeff, zero)
+    lp_b = onepole_lowpass(dry, high_coeff, zero)
+    low_r = lp_a * bb(low_comp)
+    high_r = (dry - lp_b) * bb(high_comp)
+    mid_r = (dry - lp_a - (dry - lp_b)) * bb(mid_comp)
+    matched = low_r + mid_r + high_r
+
+    tail_seq = leaky_integrator(matched, bb(fb), carry["tail"])
+    wet = matched + bb(tail_amt) * jnp.float32(0.35) * tail_seq
+    out = (dry + bb(mix) * (wet - dry)) * bb(out_gain)
+
+    new_carry = {
+        "target_low": t_low,
+        "target_mid": t_mid,
+        "target_high": t_high,
+        "analysis_low": low_lp[..., -1],
+        "analysis_high": high_lp[..., -1],
+        "tail": tail_seq[..., -1],
+        "context_fit": context_fit,
+    }
+    return out, new_carry
+
+
+def finalize_metrics(params, pre, post, carry=None):
+    m = dict(post)
+    m["pre_score"] = pre["score"]
+    m["post_score"] = post["score"]
+    if carry is not None:
+        m["context_fit"] = carry["context_fit"]
+    return m
+
+
+base.register(base.ProcessorDef(
+    name="cohere",
+    title="Juicy Cohere",
+    code="JCOH",
+    params=PARAMS,
+    presets=PRESETS,
+    init=init,
+    process=process,
+    finalize_metrics=finalize_metrics,
+))

@@ -1,0 +1,100 @@
+"""JuicyPunch — transient/impact shaper.
+
+Capability rebuild of reference src/plugins/JuicyPunch/PluginProcessor.cpp.
+Per channel, per sample (cpp:92-111): fast (τ=1.5 ms) and slow (τ=110 ms)
+one-pole followers of |x| (cpp:83-84,96-97); ``transient = max(0, fast−slow)``;
+``transientCurve = transient^map(slam, 0.95→0.55)``; punch and sustain gains;
+then a soft(tanh)/hard-clip blend and dry/wet mix.
+
+TPU design: only the two |x| followers are sequential — they are *unbranched*
+one-poles (same coefficient whether rising or falling, cpp:96-97), i.e. LINEAR
+recurrences, so even they run as associative scans. The entire processor is
+parallel over time. Everything after the envelopes is stateless elementwise
+math that XLA fuses.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from juicy_tpu.models import base
+from juicy_tpu.ops.scan_utils import linear_scan
+from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, tau_coeff
+
+PARAMS = (
+    base.ParamSpec("punch", "Punch", 0.0, 1.5, 0.9),
+    base.ParamSpec("sustain", "Sustain", 0.0, 1.5, 0.35),
+    base.ParamSpec("slam", "Slam", 0.0, 1.0, 0.65),
+    base.ParamSpec("clip", "Clip", 0.0, 1.0, 0.25),
+    base.mix_param(1.0),
+    base.output_param(-24.0, 18.0, -4.0),
+    base.juiciness_param(),
+)
+
+# Reference cpp:18-24.
+PRESETS = (
+    ("Solar Snap",     dict(punch=0.9, sustain=0.35, slam=0.65, clip=0.25, mix=1.0,  output=-4.0)),
+    ("Crater Impact",  dict(punch=1.4, sustain=0.2,  slam=0.95, clip=0.65, mix=1.0,  output=-8.0)),
+    ("Elastic Slam",   dict(punch=1.1, sustain=0.8,  slam=0.8,  clip=0.4,  mix=0.85, output=-6.0)),
+    ("Steel Bounce",   dict(punch=0.7, sustain=0.55, slam=0.45, clip=0.1,  mix=0.75, output=-2.0)),
+    ("Apocalypse Tap", dict(punch=1.5, sustain=1.1,  slam=1.0,  clip=1.0,  mix=1.0,  output=-12.0)),
+)
+
+
+def init(sr: float, channels: int):
+    """Per-channel fast/slow envelope states (cpp:40-41)."""
+    del sr
+    z = jnp.zeros((channels,), jnp.float32)
+    return {"fast_env": z, "slow_env": z}
+
+
+def process(params, carry, block, sr: float):
+    dry = jnp.asarray(block, jnp.float32)
+    adry = jnp.abs(dry)
+
+    punch_amt = jnp.asarray(params["punch"], jnp.float32)
+    sustain_amt = jnp.asarray(params["sustain"], jnp.float32)
+    slam_amt = jnp.asarray(params["slam"], jnp.float32)
+    clip_amt = jnp.asarray(params["clip"], jnp.float32)
+    mix = jnp.asarray(params["mix"], jnp.float32)
+    out_gain = db_to_gain(params["output"])
+
+    def b(v):
+        v = jnp.asarray(v, jnp.float32)
+        return v if v.ndim == 0 else v[..., None, None]
+
+    # Linear envelope followers (cpp:96-97): env' = (1−c)|x| + c·env.
+    fast_c = tau_coeff(0.0015, sr)
+    slow_c = tau_coeff(0.110, sr)
+    one = jnp.float32(1.0)
+    f_env = linear_scan(fast_c, (one - fast_c) * adry, carry["fast_env"])
+    s_env = linear_scan(slow_c, (one - slow_c) * adry, carry["slow_env"])
+
+    transient = jnp.maximum(jnp.float32(0.0), f_env - s_env)
+    curve_exp = jmap(slam_amt, 0.95, 0.55)
+    transient_curve = jnp.power(transient, b(curve_exp))
+    punch_gain = one + (b(punch_amt) * jnp.float32(12.0)
+                        + b(slam_amt) * jnp.float32(22.0)) * transient_curve
+    sustain_gain = one + (b(sustain_amt) * jnp.float32(4.0)
+                          + b(slam_amt) * jnp.float32(1.5)) * \
+        jnp.maximum(jnp.float32(0.0), s_env - transient * jnp.float32(0.6))
+
+    wet = dry * punch_gain * sustain_gain
+    drive = one + b(clip_amt) * jnp.float32(8.0) + b(slam_amt) * jnp.float32(4.0)
+    soft = jnp.tanh(wet * drive) / jnp.tanh(drive)
+    hard = jlimit(-0.95, 0.95, wet * (one + b(clip_amt) * jnp.float32(2.0)))
+    wet = soft + b(clip_amt) * (hard - soft)
+
+    out = (dry + b(mix) * (wet - dry)) * b(out_gain)
+    return out, {"fast_env": f_env[..., -1], "slow_env": s_env[..., -1]}
+
+
+base.register(base.ProcessorDef(
+    name="punch",
+    title="Juicy Punch",
+    code="JPCH",
+    params=PARAMS,
+    presets=PRESETS,
+    init=init,
+    process=process,
+))

@@ -1,0 +1,55 @@
+"""Nonlinear per-sample envelope recurrences.
+
+Attack/release envelope followers branch on ``input > env`` per sample
+(reference src/shared/JuicinessAnalyzer.cpp:24-29, and the fast/slow pair at
+src/plugins/JuicyPunch/PluginProcessor.cpp:96-97), so unlike the linear
+one-poles they cannot be associatively scanned exactly. They run as a
+``lax.scan`` over time with a tiny carry; all leading axes (batch, channels)
+stay vectorized, so on TPU each scan step is a full-width VPU op across the
+batch — throughput comes from clip parallelism, exactly as the reference gets
+parallelism from independent plugin instances across DAW tracks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ar_envelope(x, attack_coeff, release_coeff, init, axis: int = -1,
+                unroll: int = 8):
+    """env[n] = (1−c)·x[n] + c·env[n−1],  c = attack if x[n] > env[n−1] else release.
+
+    Returns the full envelope sequence (same shape as x). `x` is expected
+    non-negative (callers pass |x|). `init` has the shape of x without `axis`.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    x_t = jnp.moveaxis(x, axis, 0)
+    attack_coeff = jnp.float32(attack_coeff)
+    release_coeff = jnp.float32(release_coeff)
+
+    def step(env, xi):
+        c = jnp.where(xi > env, attack_coeff, release_coeff)
+        env2 = (jnp.float32(1.0) - c) * xi + c * env
+        return env2, env2
+
+    _, envs = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
+                           unroll=unroll)
+    return jnp.moveaxis(envs, 0, axis)
+
+
+def ar_envelope_final(x, attack_coeff, release_coeff, init, axis: int = -1,
+                      unroll: int = 8):
+    """Like :func:`ar_envelope` but returns only the final envelope state."""
+    x = jnp.asarray(x, jnp.float32)
+    x_t = jnp.moveaxis(x, axis, 0)
+    attack_coeff = jnp.float32(attack_coeff)
+    release_coeff = jnp.float32(release_coeff)
+
+    def step(env, xi):
+        c = jnp.where(xi > env, attack_coeff, release_coeff)
+        return (jnp.float32(1.0) - c) * xi + c * env, None
+
+    env, _ = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
+                          unroll=unroll)
+    return env

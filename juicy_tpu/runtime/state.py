@@ -1,0 +1,82 @@
+"""Checkpoint / resume: full params+state serialization.
+
+Strictly more capable than the reference, which persists *only* parameter
+values as XML chunks (get/setStateInformation, e.g.
+JuicyPunch/PluginProcessor.cpp:131-145) and silently loses DSP state and
+JuicyCohere's learned spectral targets on reload. Here the carry pytree is
+explicit, so checkpoints capture everything: params, analyzer state, DSP
+state (envelopes, delay windows, learned targets, RNG position) — a batch
+job resumes mid-corpus exactly.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import msgpack
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def _pack_leaf(x):
+    arr = np.asarray(jax.device_get(x))
+    return {
+        b"dtype": arr.dtype.str.encode(),
+        b"shape": list(arr.shape),
+        b"data": arr.tobytes(),
+    }
+
+
+def _unpack_leaf(d):
+    arr = np.frombuffer(d[b"data"], dtype=np.dtype(d[b"dtype"].decode()))
+    return jnp.asarray(arr.reshape(d[b"shape"]))
+
+
+def save_state(path: str, params: Any, state: Any, meta: Dict[str, Any] = None):
+    """Serialize (params, state) pytrees to a msgpack checkpoint file."""
+    payload = {}
+    for name, tree in (("params", params), ("state", state)):
+        leaves, treedef = jax.tree.flatten(tree)
+        payload[name] = {
+            b"leaves": [_pack_leaf(l) for l in leaves],
+            b"treedef": str(treedef).encode(),
+        }
+    blob = msgpack.packb({
+        b"version": _FORMAT_VERSION,
+        b"meta": {str(k).encode(): str(v).encode()
+                  for k, v in (meta or {}).items()},
+        b"params": payload["params"],
+        b"state": payload["state"],
+    })
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_state(path: str, params_like: Any, state_like: Any
+               ) -> Tuple[Any, Any, Dict[str, str]]:
+    """Restore (params, state) using pytrees of matching structure.
+
+    Mirrors the reference's tag check before replaceState
+    (JuicyPunch/PluginProcessor.cpp:143-144): structure must match.
+    """
+    with open(path, "rb") as f:
+        blob = msgpack.unpackb(f.read())
+    if blob[b"version"] != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {blob[b'version']}")
+
+    def restore(section, like):
+        leaves_like, treedef = jax.tree.flatten(like)
+        packed = blob[section][b"leaves"]
+        if len(packed) != len(leaves_like):
+            raise ValueError(
+                f"checkpoint {section.decode()} has {len(packed)} leaves, "
+                f"expected {len(leaves_like)}")
+        leaves = [_unpack_leaf(d) for d in packed]
+        return jax.tree.unflatten(treedef, leaves)
+
+    meta = {k.decode(): v.decode() for k, v in blob[b"meta"].items()}
+    return restore(b"params", params_like), restore(b"state", state_like), meta

@@ -1,0 +1,66 @@
+"""Test harness config: run on a simulated 8-device CPU mesh.
+
+Multi-chip sharding is tested without a cluster via
+``--xla_force_host_platform_device_count=8`` (the standard JAX fake-backend
+analog, SURVEY.md §4). Must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: repeated pytest runs skip recompilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xA0D10)
+
+
+def make_clip(rng, channels=2, samples=4096, kind="mixed"):
+    """Synthesized test material with transients, tone and stereo content."""
+    t = np.arange(samples, dtype=np.float64)
+    sr = 48000.0
+    sig = 0.25 * np.sin(2 * np.pi * 220.0 * t / sr)
+    sig = sig + 0.15 * np.sin(2 * np.pi * 3100.0 * t / sr + 0.3)
+    # Transient clicks every ~60 ms.
+    env = np.zeros(samples)
+    for onset in range(0, samples, 2880):
+        seg = np.arange(onset, min(samples, onset + 480))
+        env[seg] += np.exp(-(seg - onset) / 180.0)
+    sig = sig * (0.4 + 0.6 * env)
+    noise = rng.standard_normal(samples) * 0.02
+    left = sig + noise
+    right = np.roll(sig, 7) * 0.9 + rng.standard_normal(samples) * 0.02
+    if kind == "mono":
+        clip = np.stack([left] * channels)
+    elif kind == "anticorrelated":
+        clip = np.stack([left, -left * 0.95] + [left] * (channels - 2))
+    else:
+        clip = np.stack(([left, right] + [left] * (channels - 2))[:channels])
+    return np.clip(clip, -0.99, 0.99).astype(np.float32)
+
+
+@pytest.fixture
+def stereo_clip(rng):
+    return make_clip(rng, channels=2, samples=4096)
+
+
+@pytest.fixture
+def mono_clip(rng):
+    return make_clip(rng, channels=1, samples=4096)
+
+
+def residual_dbfs(a, b):
+    """Null-test residual in dBFS (full scale = 1.0)."""
+    diff = np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))
+    return -np.inf if diff == 0 else 20.0 * np.log10(diff)
