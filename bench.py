@@ -1,0 +1,128 @@
+"""Benchmark: audio-sec/sec/chip for the JuicySuite chain on real TPU.
+
+Headline metric (BASELINE.json): audio-seconds processed per wall-second per
+chip at 48 kHz stereo through the FULL 7-plugin chain. 1.0 audio-sec/sec =
+1× realtime; the reference's implicit floor is 1× per plugin instance
+(AU/VST3 callback deadline); the north-star target is ≥1000× realtime.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": V, "unit": "audio-sec/sec/chip", "vs_baseline": R}
+where vs_baseline = V / 1000 (multiple of the north-star target; the
+reference itself publishes no numbers — BASELINE.md).
+
+Per-config details (the 5 BASELINE.json configs) are written to
+BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 48000.0
+BLOCK = 512
+NUM_BLOCKS = 94          # ~1.0 s of audio per clip
+T = BLOCK * NUM_BLOCKS
+CHANNELS = 2
+BATCH = 512              # clips per chip
+TARGET_X_REALTIME = 1000.0
+
+CHAIN = [
+    ("punch", "Solar Snap"),
+    ("saturator", "Amber Heat"),
+    ("texture", None),
+    ("motion", None),
+    ("width", "Prism Arc"),
+    ("cohere", None),
+    ("infer", "Reference Lens"),
+]
+
+CONFIGS = {
+    # The 5 BASELINE.json benchmark configs.
+    "saturator": [("saturator", "Amber Heat")],
+    "width": [("width", "Prism Arc")],
+    "punch": [("punch", "Solar Snap")],
+    "texture": [("texture", None)],
+    "infer": [("infer", "Reference Lens")],
+    "full_chain": CHAIN,
+}
+
+
+def make_batch(batch, channels, t, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((batch, channels, t)).astype(np.float32) * 0.1
+    tt = np.arange(t, dtype=np.float32)
+    x += 0.2 * np.sin(2 * np.pi * 220.0 * tt / SR)[None, None, :]
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def bench_config(stages, batch, warmup=1, iters=3):
+    from juicy_tpu.runtime.plugin import Chain
+
+    chain = Chain(stages, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    clips = jnp.asarray(make_batch(batch, CHANNELS, T))
+
+    def one_clip(clip, states):
+        out, states, _metrics = chain.run(states, clip)
+        return out, states
+
+    @jax.jit
+    def run_batch(cs):
+        states = jax.vmap(lambda _: chain.init_state())(jnp.arange(cs.shape[0]))
+        out, st = jax.vmap(one_clip)(cs, states)
+        # tiny reduction so nothing is dead-code eliminated
+        return jnp.sum(out[..., -1]), out.shape
+
+    # warmup / compile
+    t_compile = time.perf_counter()
+    s, _ = run_batch(clips)
+    s.block_until_ready()
+    compile_s = time.perf_counter() - t_compile
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s, _ = run_batch(clips)
+        s.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_sec = batch * T / SR
+    return {
+        "audio_sec_per_sec": audio_sec / wall,
+        "x_realtime": audio_sec / wall,
+        "wall_s": wall,
+        "compile_s": compile_s,
+        "batch": batch,
+        "block": BLOCK,
+        "clip_seconds": T / SR,
+    }
+
+
+def main():
+    details = {"device": str(jax.devices()[0]), "sr": SR, "channels": CHANNELS}
+    for name, stages in CONFIGS.items():
+        try:
+            details[name] = bench_config(stages, BATCH)
+        except Exception as e:  # keep the headline alive even if one config dies
+            details[name] = {"error": repr(e)}
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    full = details.get("full_chain", {})
+    value = float(full.get("audio_sec_per_sec", 0.0))
+    print(json.dumps({
+        "metric": "full-chain audio-sec/sec/chip @48kHz stereo (7 plugins, "
+                  "pre+post analysis)",
+        "value": round(value, 1),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(value / TARGET_X_REALTIME, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

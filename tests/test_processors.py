@@ -1,0 +1,180 @@
+"""Golden null tests: each processor's JAX DSP vs its serial float32 oracle.
+
+The acceptance bar is the BASELINE.json north star: residual ≤ −80 dBFS on
+identical input with identical params, streamed block-by-block with state
+carried across blocks (block-size-granular semantics included).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from juicy_tpu.runtime.plugin import Plugin
+from tests.conftest import make_clip, residual_dbfs
+from tests import oracles
+
+SR = 48000.0
+BLOCK = 512
+NBLOCKS = 6
+
+
+# oracle kwarg name -> JAX param id (oracles use pythonic names)
+KEYMAP = {"haas_ms": "haasMs", "mono_safe": "monoSafe"}
+
+
+def run_jax(name, params, clip, channels, preset=None):
+    plug = Plugin(name, SR, channels, BLOCK)
+    p = plug.default_params()
+    p.update({KEYMAP.get(k, k): jnp.float32(v) for k, v in params.items()
+              if k not in plug.defn.static_params})
+    for k in plug.defn.static_params:
+        if k in params:
+            plug._static = getattr(plug, "_static", {})
+            plug._static[k] = int(params[k])
+    state = plug.init_state()
+    outs = []
+    step = plug.jit_step
+    for k in range(clip.shape[1] // BLOCK):
+        blk = jnp.asarray(clip[:, k * BLOCK:(k + 1) * BLOCK])
+        out, state, _ = step(p, state, blk)
+        outs.append(np.asarray(out))
+    return np.concatenate(outs, axis=1)
+
+
+def check(name, oracle_cls, params, clip, channels=2, budget_db=-80.0):
+    ours = run_jax(name, params, clip, channels)
+    oracle = oracle_cls(SR, channels)
+    refs = []
+    for k in range(clip.shape[1] // BLOCK):
+        blk = clip[:, k * BLOCK:(k + 1) * BLOCK].copy()
+        refs.append(oracle.process(blk, **params))
+    ref = np.concatenate(refs, axis=1)
+    res = residual_dbfs(ours, ref)
+    assert res <= budget_db, f"{name}: null residual {res:.1f} dBFS > {budget_db}"
+    return res
+
+
+# --- Saturator (BASELINE config #1) ---
+
+def test_saturator_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("saturator", oracles.SaturatorOracle,
+          dict(drive=6.0, asymmetry=0.1, tone=0.55, mix=1.0, output=-3.0), clip)
+
+
+def test_saturator_presets_null(rng):
+    clip = make_clip(rng, 2, BLOCK * 4)
+    from juicy_tpu.models.saturator import PRESETS
+    for _, p in PRESETS:
+        check("saturator", oracles.SaturatorOracle, dict(p), clip)
+
+
+def test_saturator_mono(rng):
+    clip = make_clip(rng, 1, BLOCK * 4)
+    check("saturator", oracles.SaturatorOracle,
+          dict(drive=12.0, asymmetry=-0.2, tone=0.3, mix=0.8, output=0.0),
+          clip, channels=1)
+
+
+# --- Punch (BASELINE config #3) ---
+
+def test_punch_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("punch", oracles.PunchOracle,
+          dict(punch=0.9, sustain=0.35, slam=0.65, clip=0.25, mix=1.0,
+               output=-4.0), clip)
+
+
+def test_punch_extreme_preset(rng):
+    clip = make_clip(rng, 2, BLOCK * 4)
+    check("punch", oracles.PunchOracle,
+          dict(punch=1.5, sustain=1.1, slam=1.0, clip=1.0, mix=1.0,
+               output=-12.0), clip)
+
+
+# --- Width (BASELINE config #2) ---
+
+def test_width_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("width", oracles.WidthOracle,
+          dict(width=0.45, haas_ms=12.0, mono_safe=0.7, mix=1.0, output=0.0),
+          clip)
+
+
+def test_width_anticorrelated_null(rng):
+    """Exercises the block-local cumulative width-shrink quirk heavily."""
+    clip = make_clip(rng, 2, BLOCK * 4, kind="anticorrelated")
+    check("width", oracles.WidthOracle,
+          dict(width=1.0, haas_ms=30.0, mono_safe=0.2, mix=1.0, output=-3.0),
+          clip)
+
+
+def test_width_zero_haas(rng):
+    clip = make_clip(rng, 2, BLOCK * 3)
+    check("width", oracles.WidthOracle,
+          dict(width=0.7, haas_ms=0.0, mono_safe=0.5, mix=1.0, output=0.0),
+          clip)
+
+
+def test_width_mono_passthrough(rng):
+    clip = make_clip(rng, 1, BLOCK * 2)
+    ours = run_jax("width", dict(), clip, channels=1)
+    np.testing.assert_array_equal(ours, clip)
+
+
+# --- Infer (BASELINE config #5) ---
+
+def test_infer_null(rng):
+    clip = make_clip(rng, 2, BLOCK * 3)
+    check("infer", oracles.InferOracle, dict(trim=-6.0, sensitivity=1.7), clip)
+
+
+# --- Cohere ---
+
+def test_cohere_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("cohere", oracles.CohereOracle,
+          dict(match=0.65, learn=0.0, tail=0.45, decay=0.65, mix=1.0,
+               output=0.0), clip)
+
+
+def test_cohere_learn_mode_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("cohere", oracles.CohereOracle,
+          dict(match=1.0, learn=1.0, tail=0.8, decay=0.9, mix=1.0,
+               output=0.0), clip)
+
+
+# --- Motion ---
+
+def test_motion_null(rng):
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("motion", oracles.MotionOracle,
+          dict(microvar=0.55, motiondepth=1.0, repeatctrl=0.65, budget=0.5,
+               mix=1.0, output=-2.0), clip)
+
+
+def test_motion_extreme_null(rng):
+    clip = make_clip(rng, 2, BLOCK * 4)
+    check("motion", oracles.MotionOracle,
+          dict(microvar=1.0, motiondepth=2.0, repeatctrl=1.0, budget=1.0,
+               mix=1.0, output=0.0), clip)
+
+
+# --- Texture (BASELINE config #4): all 5 materials ---
+
+@pytest.mark.parametrize("material", [0, 1, 2, 3, 4])
+def test_texture_materials_null(rng, material):
+    clip = make_clip(rng, 2, BLOCK * 4)
+    check("texture", oracles.TextureOracle,
+          dict(material=material, tailshape=0.55, damping=0.5, weight=0.45,
+               texture=0.5, mix=1.0, output=-2.0), clip)
+
+
+def test_texture_long_ring(rng):
+    """Low damping / long tails stress the resonator numerics."""
+    clip = make_clip(rng, 2, BLOCK * NBLOCKS)
+    check("texture", oracles.TextureOracle,
+          dict(material=1, tailshape=1.0, damping=0.0, weight=1.0,
+               texture=1.0, mix=1.0, output=0.0), clip)
