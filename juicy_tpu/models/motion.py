@@ -185,14 +185,17 @@ def process(params, carry, block, sr: float):
     dry = block[..., :channels, :]
     ch_offset = jnp.array([0.0, 0.85] + [0.85] * max(0, channels - 2),
                           jnp.float32)[:channels][:, None]
-    motion_lfo = jnp.sin(phase_s + ch_offset)
+    # Drift-pinned sin/exp (ops/precise.py): the LFO feeds a near-unity tail
+    # feedback, so libm-vs-XLA ulps would otherwise amplify past −80 dBFS.
+    from juicy_tpu.ops.precise import onepole_coeff32, sin32
+    motion_lfo = sin32(phase_s + ch_offset)
     lfo_depth = (jnp.float32(250.0) + jnp.float32(550.0) * b(micro_var)) * \
         (jnp.float32(0.5) + jnp.float32(0.9) * b(depth))
     cutoff = jlimit(120.0, 4200.0,
                     jnp.float32(900.0)
                     + vt_s * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * b(depth))
                     + motion_lfo * lfo_depth)
-    lp_coeff = onepole_coeff(cutoff, sr)
+    lp_coeff = onepole_coeff32(cutoff, sr)
 
     # Time-varying one-pole lowpass per channel (cpp:122) — associative scan.
     lp = linear_scan(one - lp_coeff, lp_coeff * dry, carry["lp"])

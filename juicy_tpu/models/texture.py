@@ -28,10 +28,9 @@ TPU decomposition:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from juicy_tpu.models import base
 from juicy_tpu.ops.envelopes import ar_envelope
@@ -84,12 +83,17 @@ def init(sr: float, channels: int):
 
 
 def _modal_coeffs(freq_hz, t60, sr):
-    """2-pole modal resonator coefficients (cpp:77-89)."""
+    """2-pole modal resonator coefficients (cpp:77-89).
+
+    Uses the drift-pinned exp32/cos32 (ops/precise.py): pole radius/angle
+    ulps otherwise turn into linearly-growing phase drift between backends.
+    """
+    from juicy_tpu.ops.precise import cos32, exp32
     f = jlimit(20.0, 0.45 * sr, freq_hz)
     t = jnp.maximum(jnp.float32(0.02), t60)
-    r = jnp.exp(jnp.float32(jnp.log(jnp.float32(0.001))) / (t * jnp.float32(sr)))
+    r = exp32(jnp.float32(np.log(np.float32(0.001))) / (t * jnp.float32(sr)))
     theta = jnp.float32(2.0 * PI) * f / jnp.float32(sr)
-    a1 = jnp.float32(2.0) * r * jnp.cos(theta)
+    a1 = jnp.float32(2.0) * r * cos32(theta)
     a2 = -r * r
     return a1, a2
 
@@ -312,15 +316,30 @@ def process(params, carry, block, sr: float):
     driven = dry * jnp.float32(MATERIAL_INPUT_TRIM[mode])  # cpp:117
     adry = jnp.abs(dry)
 
-    # --- envelopes (cpp:120-124): AR scan ---
-    env = ar_envelope(adry, env_atk, env_rel, carry["env"])
+    # --- envelope + band splits (cpp:120-131) in ONE tiny-carry scan.
+    # The split one-poles feed the modal resonators whose Q amplifies any
+    # reassociation noise past the null budget, so they use the exact
+    # sequential op order (st += c·(x − st)) instead of associative scans.
+    def pre_step(c, xs):
+        env_c, lp_c, hp_c = c
+        a, d = xs
+        coeff = jnp.where(a > env_c, env_atk, env_rel)
+        env_c = coeff * env_c + (one - coeff) * a
+        lp_c = lp_c + split_low * (d - lp_c)
+        hp_c = hp_c + split_high * (d - hp_c)
+        return (env_c, lp_c, hp_c), (env_c, lp_c, hp_c)
+
+    (_, _, _), (env_t, lp_t, hp_t) = jax.lax.scan(
+        pre_step, (carry["env"], carry["lp"], carry["hp"]),
+        (jnp.moveaxis(adry, -1, 0), jnp.moveaxis(driven, -1, 0)), unroll=8)
+    env = jnp.moveaxis(env_t, 0, -1)
+    lp = jnp.moveaxis(lp_t, 0, -1)
+    hp = jnp.moveaxis(hp_t, 0, -1)
+
     impact = jlimit(0.0, 1.0, jnp.maximum(jnp.float32(0.0), adry - env) * jnp.float32(10.0))
     body = jlimit(0.0, 1.0, env * jnp.float32(3.2))
     trail = jlimit(0.0, 1.0, one - impact) * tail_shape
 
-    # --- band splits (cpp:126-131): associative one-poles ---
-    lp = onepole_lowpass(driven, split_low, carry["lp"])
-    hp = onepole_lowpass(driven, split_high, carry["hp"])
     low = lp * low_boost
     high = driven - hp
     mid = driven - lp - high

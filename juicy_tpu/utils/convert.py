@@ -60,12 +60,19 @@ def jlimit(lo, hi, v):
 
 
 def onepole_coeff(freq_hz, sr):
-    """1 − exp(−2π·f/sr): per-sample one-pole lowpass smoothing coefficient."""
+    """1 − exp(−2π·f/sr): one-pole lowpass smoothing coefficient.
+
+    Evaluated through the drift-pinned exp32 (ops/precise.py) so coefficients
+    are bit-identical across XLA/numpy — onset-threshold comparisons and
+    resonant feedback paths otherwise amplify 1-ulp libm/XLA differences.
+    """
+    from juicy_tpu.ops.precise import exp32
     freq_hz = jnp.asarray(freq_hz, jnp.float32)
     two_pi = jnp.float32(2.0 * 3.14159265358979323846)
-    return jnp.float32(1.0) - jnp.exp(-two_pi * freq_hz / jnp.float32(sr))
+    return jnp.float32(1.0) - exp32(-two_pi * freq_hz / jnp.float32(sr))
 
 
 def tau_coeff(tau_seconds, sr):
-    """exp(−1/(sr·τ)): envelope attack/release coefficient."""
-    return jnp.exp(jnp.float32(-1.0) / jnp.float32(sr * tau_seconds))
+    """exp(−1/(sr·τ)): envelope attack/release coefficient (drift-pinned)."""
+    from juicy_tpu.ops.precise import exp32
+    return exp32(jnp.float32(-1.0) / jnp.float32(sr * tau_seconds))

@@ -1,0 +1,222 @@
+// juicyio — native I/O runtime for juicy_tpu.
+//
+// The reference's runtime layer is native C++ (JUCE host glue, buffer
+// management); the TPU framework's equivalent native needs are on the *feed*
+// side: decoding WAV corpora into pinned float32 arenas fast enough to keep a
+// chip busy, and a lock-free SPSC ring buffer for a realtime host bridge.
+// Python binds via ctypes (juicy_tpu/runtime/native.py).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WAV decode: PCM16/24/32 + IEEE float32 → float32 interleaved-planar [C][T].
+// Returns 0 on success. Caller provides the arena; query dims first.
+// ---------------------------------------------------------------------------
+
+struct WavInfo {
+  int32_t channels;
+  int32_t sample_rate;
+  int64_t frames;
+  int32_t format;       // 1 = PCM, 3 = float
+  int32_t bits;
+};
+
+static int read_header(FILE* f, WavInfo* info, long* data_offset,
+                       int64_t* data_size) {
+  char hdr[12];
+  if (fread(hdr, 1, 12, f) != 12) return -1;
+  if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) return -2;
+  uint16_t fmt_tag = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  *data_offset = -1;
+  *data_size = 0;
+  for (;;) {
+    char cid[4];
+    uint32_t size;
+    if (fread(cid, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
+    if (memcmp(cid, "fmt ", 4) == 0) {
+      uint8_t buf[16];
+      if (size < 16 || fread(buf, 1, 16, f) != 16) return -3;
+      memcpy(&fmt_tag, buf + 0, 2);
+      memcpy(&channels, buf + 2, 2);
+      memcpy(&sr, buf + 4, 4);
+      memcpy(&bits, buf + 14, 2);
+      fseek(f, (long)(size - 16 + (size & 1)), SEEK_CUR);
+    } else if (memcmp(cid, "data", 4) == 0) {
+      *data_offset = ftell(f);
+      *data_size = size;
+      fseek(f, (long)(size + (size & 1)), SEEK_CUR);
+    } else {
+      fseek(f, (long)(size + (size & 1)), SEEK_CUR);
+    }
+  }
+  if (fmt_tag == 0xFFFE) fmt_tag = (bits == 32) ? 3 : 1;  // extensible: guess
+  if (*data_offset < 0 || channels == 0 || bits == 0) return -4;
+  info->channels = channels;
+  info->sample_rate = (int32_t)sr;
+  info->format = fmt_tag;
+  info->bits = bits;
+  info->frames = *data_size / (channels * (bits / 8));
+  return 0;
+}
+
+int juicy_wav_info(const char* path, WavInfo* info) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  long off; int64_t sz;
+  int rc = read_header(f, info, &off, &sz);
+  fclose(f);
+  return rc;
+}
+
+// Decode into out[C][T] (planar), zero-padded / truncated to `frames_out`.
+int juicy_wav_read(const char* path, float* out, int64_t frames_out,
+                   int32_t channels_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  long off; int64_t sz;
+  int rc = read_header(f, &info, &off, &sz);
+  if (rc != 0) { fclose(f); return rc; }
+  fseek(f, off, SEEK_SET);
+
+  const int c_in = info.channels;
+  const int bytes = info.bits / 8;
+  const int64_t frames = info.frames < frames_out ? info.frames : frames_out;
+  std::vector<uint8_t> raw((size_t)(frames * c_in * bytes));
+  if (fread(raw.data(), 1, raw.size(), f) != raw.size()) { fclose(f); return -5; }
+  fclose(f);
+
+  memset(out, 0, sizeof(float) * (size_t)(frames_out * channels_out));
+  for (int64_t i = 0; i < frames; ++i) {
+    for (int c = 0; c < channels_out; ++c) {
+      const int src_c = c < c_in ? c : c_in - 1;   // mono → dup to all chans
+      const uint8_t* p = raw.data() + (size_t)((i * c_in + src_c) * bytes);
+      float v = 0.0f;
+      if (info.format == 3 && info.bits == 32) {
+        memcpy(&v, p, 4);
+      } else if (info.bits == 16) {
+        int16_t s; memcpy(&s, p, 2);
+        v = (float)s / 32768.0f;
+      } else if (info.bits == 24) {
+        int32_t s = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
+        if (s >= (1 << 23)) s -= (1 << 24);
+        v = (float)s / 8388608.0f;
+      } else if (info.bits == 32) {
+        int32_t s; memcpy(&s, p, 4);
+        v = (float)((double)s / 2147483648.0);
+      } else { return -6; }
+      out[(size_t)c * frames_out + i] = v;
+    }
+  }
+  return 0;
+}
+
+int juicy_wav_write_f32(const char* path, const float* audio,
+                        int64_t frames, int32_t channels, int32_t sr) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const uint32_t data_size = (uint32_t)(frames * channels * 4);
+  const uint32_t riff = 4 + 8 + 16 + 8 + data_size;
+  uint16_t fmt3 = 3, ch = (uint16_t)channels, bits = 32;
+  uint32_t srate = (uint32_t)sr, brate = srate * channels * 4;
+  uint16_t align = (uint16_t)(channels * 4);
+  uint32_t sixteen = 16;
+  fwrite("RIFF", 1, 4, f); fwrite(&riff, 4, 1, f); fwrite("WAVE", 1, 4, f);
+  fwrite("fmt ", 1, 4, f); fwrite(&sixteen, 4, 1, f);
+  fwrite(&fmt3, 2, 1, f); fwrite(&ch, 2, 1, f); fwrite(&srate, 4, 1, f);
+  fwrite(&brate, 4, 1, f); fwrite(&align, 2, 1, f); fwrite(&bits, 2, 1, f);
+  fwrite("data", 1, 4, f); fwrite(&data_size, 4, 1, f);
+  // planar [C][T] → interleaved
+  std::vector<float> inter((size_t)(frames * channels));
+  for (int64_t i = 0; i < frames; ++i)
+    for (int c = 0; c < channels; ++c)
+      inter[(size_t)(i * channels + c)] = audio[(size_t)c * frames + i];
+  fwrite(inter.data(), 4, inter.size(), f);
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Corpus loader: decode `n` files into a planar arena [B][C][T] (float32),
+// zero-padded/truncated to T frames, mono duplicated to C channels.
+// Returns number of files successfully decoded.
+// ---------------------------------------------------------------------------
+
+int juicy_load_corpus(const char** paths, int32_t n, float* arena,
+                      int64_t frames, int32_t channels) {
+  int ok = 0;
+  const size_t clip_stride = (size_t)frames * channels;
+  for (int i = 0; i < n; ++i) {
+    if (juicy_wav_read(paths[i], arena + (size_t)i * clip_stride,
+                       frames, channels) == 0)
+      ++ok;
+    else
+      memset(arena + (size_t)i * clip_stride, 0, clip_stride * sizeof(float));
+  }
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// Lock-free SPSC float ring buffer — the realtime host bridge primitive
+// (the atomics thread-boundary of the reference, rebuilt as a block queue:
+// an audio callback pushes blocks, the TPU feeder pops them).
+// ---------------------------------------------------------------------------
+
+struct JuicyRing {
+  float* data;
+  int64_t capacity;           // in floats, power of two
+  std::atomic<int64_t> head;  // write position (producer)
+  std::atomic<int64_t> tail;  // read position (consumer)
+};
+
+JuicyRing* juicy_ring_create(int64_t capacity) {
+  int64_t cap = 1;
+  while (cap < capacity) cap <<= 1;
+  auto* r = new JuicyRing();
+  r->data = new float[cap];
+  r->capacity = cap;
+  r->head.store(0);
+  r->tail.store(0);
+  return r;
+}
+
+void juicy_ring_destroy(JuicyRing* r) {
+  delete[] r->data;
+  delete r;
+}
+
+int64_t juicy_ring_readable(JuicyRing* r) {
+  return r->head.load(std::memory_order_acquire) -
+         r->tail.load(std::memory_order_acquire);
+}
+
+int juicy_ring_push(JuicyRing* r, const float* src, int64_t n) {
+  const int64_t head = r->head.load(std::memory_order_relaxed);
+  const int64_t tail = r->tail.load(std::memory_order_acquire);
+  if (head - tail + n > r->capacity) return -1;   // full: realtime drop
+  const int64_t mask = r->capacity - 1;
+  for (int64_t i = 0; i < n; ++i) r->data[(head + i) & mask] = src[i];
+  r->head.store(head + n, std::memory_order_release);
+  return 0;
+}
+
+int juicy_ring_pop(JuicyRing* r, float* dst, int64_t n) {
+  const int64_t tail = r->tail.load(std::memory_order_relaxed);
+  const int64_t head = r->head.load(std::memory_order_acquire);
+  if (head - tail < n) return -1;                 // not enough data
+  const int64_t mask = r->capacity - 1;
+  for (int64_t i = 0; i < n; ++i) dst[i] = r->data[(tail + i) & mask];
+  r->tail.store(tail + n, std::memory_order_release);
+  return 0;
+}
+
+}  // extern "C"

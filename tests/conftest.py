@@ -7,7 +7,12 @@ analog, SURVEY.md §4). Must be set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the driver environment pins JAX_PLATFORMS=axon — the real TPU —
+# which has only one chip; the multi-chip tests need the virtual mesh).
+# Set JUICY_TEST_TPU=1 to run the suite on the real chip instead: the golden
+# null tests pass there too (the drift-pinned transcendentals hold on TPU).
+if not os.environ.get("JUICY_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: repeated pytest runs skip recompilation.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

@@ -14,6 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
+# Drift-pinned transcendentals shared with the implementation: resonator pole
+# coefficients and the Motion LFO amplify 1-ulp libm/XLA differences into
+# linearly growing phase drift (any two independent builds of the C++ would
+# drift the same way), so both sides evaluate these through one fixed f32
+# polynomial (juicy_tpu/ops/precise.py). Accuracy vs true libm ≤ ~1e-7 —
+# the same class as libm-vs-libm variation. Everything else in these oracles
+# uses plain numpy/libm, independent of the implementation under test.
+from juicy_tpu.ops.precise import cos32, exp32, onepole_coeff32, sin32
+
 F = np.float32
 PI = F(np.pi)
 
@@ -41,11 +50,12 @@ def gain_to_db(gain):
 
 
 def onepole_coeff(freq, sr):
-    return F(1.0) - np.exp(F(-2.0) * PI * F(freq) / F(sr))
+    # exp32: drift-pinned, shared with the implementation (see module note).
+    return F(1.0) - exp32(F(-2.0) * PI * F(freq) / F(sr))
 
 
 def tau_coeff(tau, sr):
-    return np.exp(F(-1.0) / F(sr * tau))
+    return exp32(F(-1.0) / F(sr * tau))
 
 
 class AnalyzerOracle:
@@ -461,12 +471,12 @@ class MotionOracle:
                     self.motion_phase -= four_pi
 
                 dry = F(x[i])
-                lfo = np.sin(self.motion_phase + (F(0.0) if ch == 0 else F(0.85)))
+                lfo = sin32(self.motion_phase + (F(0.0) if ch == 0 else F(0.85)))
                 lfo_depth = (F(250.0) + F(550.0) * micro_var) * (F(0.5) + F(0.9) * depth)
                 cutoff = jlimit(120.0, 4200.0,
                                 F(900.0) + self.variation[0] * F(1100.0) * (F(0.6) + F(0.6) * depth)
                                 + lfo * lfo_depth)
-                lp_coeff = onepole_coeff(cutoff, sr)
+                lp_coeff = onepole_coeff32(cutoff, sr)
                 lp += lp_coeff * (dry - lp)
                 hp = dry - lp
                 transient = dry - prev
@@ -518,9 +528,9 @@ class TextureOracle:
         sr = F(self.sr)
         f = jlimit(20.0, 0.45 * self.sr, F(freq_hz))
         t = max(F(0.02), F(t60))
-        r = np.exp(np.log(F(0.001)) / (t * sr))
+        r = exp32(np.log(F(0.001)) / (t * sr))
         theta = F(2.0) * PI * f / sr
-        a1 = F(2.0) * r * np.cos(theta)
+        a1 = F(2.0) * r * cos32(theta)
         a2 = -r * r
         y = F(excitation) * F(gain) + a1 * st["modal_y1"][mode_idx] + a2 * st["modal_y2"][mode_idx]
         st["modal_y2"][mode_idx] = st["modal_y1"][mode_idx]

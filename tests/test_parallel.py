@@ -1,0 +1,95 @@
+"""Multi-chip tests on the simulated 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from juicy_tpu.ops.scan_utils import linear_scan
+from juicy_tpu.parallel.mesh import make_mesh, shard_clips, batch_sharding
+from juicy_tpu.parallel.timeshard import sequence_parallel_linear_scan
+from juicy_tpu.runtime.plugin import Plugin
+from tests.conftest import make_clip
+
+SR = 48000.0
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_batch_matches_single_device(rng):
+    """dp over clips: sharded batch result == per-clip result."""
+    mesh = make_mesh()
+    clips = np.stack([make_clip(rng, 2, 512) for _ in range(8)])
+    plug = Plugin("saturator", SR, 2, 512)
+    params = plug.default_params()
+
+    def one(clip):
+        state = plug.init_state()
+        out, _, m = plug.step(params, state, clip)
+        return out, m["score"]
+
+    sharded = shard_clips(mesh, jnp.asarray(clips))
+    out_sh, scores_sh = jax.jit(jax.vmap(one))(sharded)
+    out_1, scores_1 = jax.jit(jax.vmap(one))(jnp.asarray(clips))
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(scores_sh), np.asarray(scores_1),
+                               rtol=1e-5)
+
+
+def test_corpus_mean_collective(rng):
+    """Corpus metric aggregation over a sharded batch (psum over the mesh)."""
+    mesh = make_mesh()
+    clips = np.stack([make_clip(rng, 2, 512) for _ in range(8)])
+    plug = Plugin("infer", SR, 2, 512)
+    params = plug.default_params()
+
+    def one(clip):
+        out, _, m = plug.step(params, plug.init_state(), clip)
+        return m["score"]
+
+    @jax.jit
+    def corpus_mean(cs):
+        return jnp.mean(jax.vmap(one)(cs))
+
+    got = float(corpus_mean(shard_clips(mesh, jnp.asarray(clips))))
+    want = float(np.mean(np.asarray(jax.vmap(one)(jnp.asarray(clips)))))
+    assert abs(got - want) < 1e-3
+
+
+def test_sequence_parallel_linear_scan_matches_local(rng):
+    """sp over time: Blelloch two-level scan across devices == local scan."""
+    mesh = make_mesh(axis_sizes=(1, 8), axis_names=("data", "seq"))
+    t = 8 * 64
+    x = rng.standard_normal((4, t)).astype(np.float32)
+    a = rng.uniform(0.5, 0.99, (4, t)).astype(np.float32)
+    init = rng.standard_normal(4).astype(np.float32)
+
+    y_sp = sequence_parallel_linear_scan(mesh, jnp.asarray(a), jnp.asarray(x),
+                                         jnp.asarray(init), seq_axis="seq")
+    y_ref = linear_scan(jnp.asarray(a), jnp.asarray(x), jnp.asarray(init))
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_sp_mesh_full_chain_dryrun():
+    """The driver's multi-chip dry run must pass on the 8-device CPU mesh."""
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out, states, metrics = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -1,0 +1,179 @@
+"""Runtime tests: streaming semantics, checkpointing, metrics quirks, WAV IO."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from juicy_tpu.runtime.plugin import Plugin, Chain
+from juicy_tpu.runtime.state import save_state, load_state
+from juicy_tpu.runtime.stream import pad_to_blocks, automation_curve
+from juicy_tpu.runtime.wav import read_wav, write_wav
+from tests.conftest import make_clip, residual_dbfs
+
+SR = 48000.0
+
+
+def _run(plug, params, clip):
+    state = plug.init_state()
+    out, state, metrics = plug.run(params, state, jnp.asarray(clip))
+    return np.asarray(out), state, metrics
+
+
+def test_block_size_invariance_streaming(rng):
+    """Processors without block-level adaptation must be block-size
+    invariant when state streams across calls (SURVEY.md §4). Width, Cohere
+    and Motion are documented block-granular exceptions (§2.2 quirks)."""
+    clip = make_clip(rng, 2, 2048)
+    for name in ("saturator", "punch"):
+        big = Plugin(name, SR, 2, 1024)
+        small = Plugin(name, SR, 2, 256)
+        p = big.default_params()
+        out_big, _, _ = _run(big, p, clip)
+        out_small, _, _ = _run(small, p, clip)
+        res = residual_dbfs(out_big, out_small)
+        assert res <= -100.0, f"{name}: block-size variance {res:.1f} dBFS"
+
+
+def test_texture_block_size_invariance(rng):
+    clip = make_clip(rng, 2, 2048)
+    outs = []
+    for block in (256, 1024):
+        plug = Plugin("texture", SR, 2, block)
+        p = plug.default_params()
+        outs.append(_run(plug, p, clip)[0])
+    assert residual_dbfs(outs[0], outs[1]) <= -80.0
+
+
+def test_metrics_pre_post_flow(rng):
+    clip = make_clip(rng, 2, 1024)
+    plug = Plugin("saturator", SR, 2, 512)
+    out, state, metrics = _run(plug, plug.default_params(), clip)
+    assert np.asarray(metrics["score"]).shape == (2,)
+    # post score should differ from pre (the DSP does something)
+    assert not np.allclose(np.asarray(metrics["pre_score"]),
+                           np.asarray(metrics["post_score"]))
+
+
+def test_infer_metric_remap_quirk(rng):
+    """JuicyInfer carries triangle metrics in the feature slots
+    (JuicyInfer/PluginProcessor.cpp:85-89,164-181)."""
+    clip = make_clip(rng, 2, 1024)
+    plug = Plugin("infer", SR, 2, 512)
+    _, _, m = _run(plug, plug.default_params(), clip)
+    np.testing.assert_array_equal(np.asarray(m["punch"]), np.asarray(m["emphasis"]))
+    np.testing.assert_array_equal(np.asarray(m["width"]), np.asarray(m["fatigue_risk"]))
+    np.testing.assert_array_equal(np.asarray(m["mono_safety"]),
+                                  np.asarray(m["repetition_density"]))
+
+
+def test_infer_sensitivity_scaling(rng):
+    clip = make_clip(rng, 2, 1024)
+    plug = Plugin("infer", SR, 2, 512)
+    p1 = dict(plug.default_params(), sensitivity=jnp.float32(1.0))
+    p2 = dict(plug.default_params(), sensitivity=jnp.float32(2.0))
+    _, _, m1 = _run(plug, p1, clip)
+    _, _, m2 = _run(plug, p2, clip)
+    np.testing.assert_allclose(np.asarray(m2["score"]),
+                               np.minimum(np.asarray(m1["score"]) * 2.0, 100.0),
+                               rtol=1e-5)
+
+
+def test_cohere_context_fit_reported(rng):
+    clip = make_clip(rng, 2, 1024)
+    plug = Plugin("cohere", SR, 2, 512)
+    _, _, m = _run(plug, plug.default_params(), clip)
+    cf = np.asarray(m["context_fit"])
+    assert cf.shape == (2,) and np.all(cf >= 0.0) and np.all(cf <= 100.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    clip = make_clip(rng, 2, 2048)
+    plug = Plugin("texture", SR, 2, 512)
+    params = plug.default_params()
+    state = plug.init_state()
+    out1, state, _ = plug.run(params, state, jnp.asarray(clip))
+
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_state(path, params, state, meta={"plugin": "texture"})
+    p2, s2, meta = load_state(path, params, state)
+    assert meta["plugin"] == "texture"
+    # resuming from the checkpoint must continue bit-identically
+    out_a, _, _ = plug.run(params, state, jnp.asarray(clip))
+    out_b, _, _ = plug.run(p2, s2, jnp.asarray(clip))
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_checkpoint_preserves_learned_targets(rng):
+    """Unlike the reference (which silently drops JuicyCohere's learned
+    targets, SURVEY.md §3.5), checkpoints capture them."""
+    clip = make_clip(rng, 2, 2048)
+    plug = Plugin("cohere", SR, 2, 512)
+    params = dict(plug.default_params(), learn=jnp.float32(1.0))
+    state = plug.init_state()
+    _, state, _ = plug.run(params, state, jnp.asarray(clip))
+    assert not np.allclose(float(state["dsp"]["target_low"]), 0.2)
+
+
+def test_presets_match_reference_tables():
+    plug = Plugin("punch", SR, 2, 512)
+    assert plug.defn.preset_names() == (
+        "Solar Snap", "Crater Impact", "Elastic Slam", "Steel Bounce",
+        "Apocalypse Tap")
+    p = plug.preset("Crater Impact")
+    assert float(p["punch"]) == np.float32(1.4)
+    assert float(p["output"]) == np.float32(-8.0)
+
+
+def test_param_normalization_roundtrip():
+    plug = Plugin("saturator", SR, 2, 512)
+    spec = plug.defn.param("drive")
+    v = spec.from_normalized(spec.to_normalized(13.7))
+    assert abs(float(v) - 13.7) < 1e-5
+    assert plug.defn.param("juiciness").readonly
+
+
+def test_automation_curve_streaming(rng):
+    """Per-block parameter automation (BASELINE config #3)."""
+    clip = make_clip(rng, 2, 4096)
+    plug = Plugin("punch", SR, 2, 512)
+    params = plug.default_params()
+    nb = 4096 // 512
+    curve = automation_curve(np.linspace(0.0, 1.5, 32), nb)
+    state = plug.init_state()
+    out_auto, _, _ = plug.run(params, state, jnp.asarray(clip),
+                              automation={"punch": curve})
+    out_flat, _, _ = plug.run(params, plug.init_state(), jnp.asarray(clip))
+    assert not np.allclose(np.asarray(out_auto), np.asarray(out_flat))
+
+
+def test_pad_to_blocks():
+    x = jnp.ones((2, 1000))
+    padded, t = pad_to_blocks(x, 512)
+    assert padded.shape == (2, 1024) and t == 1000
+    assert float(padded[0, 1000]) == 0.0
+
+
+def test_chain_runs_and_scores(rng):
+    clip = make_clip(rng, 2, 1024)
+    chain = Chain([("punch", "Solar Snap"), ("saturator", "Amber Heat"),
+                   ("width", "Prism Arc")], sr=SR, channels=2, block_size=512)
+    out, states, metrics = chain.run(chain.init_state(), jnp.asarray(clip))
+    assert np.asarray(out).shape == clip.shape
+    assert len(metrics) == 3
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    clip = make_clip(rng, 2, 4000)
+    path = os.path.join(tmp_path, "x.wav")
+    write_wav(path, clip, 48000)
+    back, sr = read_wav(path)
+    assert sr == 48000
+    np.testing.assert_array_equal(back, clip)
+    # PCM16 path
+    write_wav(path, clip, 44100, float32=False)
+    back16, sr16 = read_wav(path)
+    assert sr16 == 44100
+    assert residual_dbfs(back16, clip) < -80.0
