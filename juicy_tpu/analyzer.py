@@ -138,7 +138,24 @@ def analyze(state: Dict[str, jnp.ndarray], block: jnp.ndarray, sr: float
     mid_accum = rms_accum
     side_accum = jnp.sum(side * side, axis=-1)
     corr_accum = jnp.sum(left * right, axis=-1)
+    l_energy = jnp.sqrt(jnp.sum(left * left, axis=-1) * inv_n)
+    r_energy = jnp.sqrt(jnp.sum(right * right, axis=-1) * inv_n)
 
+    return _finalize_metrics(state, s_env, l_env, low_seq[..., -1],
+                             high_state_seq[..., -1], cooldown,
+                             transient_accum, onset_count, rms_accum, peak,
+                             low_accum, high_accum, side_accum, mid_accum,
+                             corr_accum, l_energy, r_energy, n, sr)
+
+
+def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
+                      transient_accum, onset_count, rms_accum, peak,
+                      low_accum, high_accum, side_accum, mid_accum,
+                      corr_accum, l_energy, r_energy, n: int, sr: float):
+    """Score formulas from the block accumulators (cpp:94-154). Shared by the
+    scan implementation above and the fused Pallas kernel
+    (kernels/analyzer_kernel.py)."""
+    inv_n = jnp.float32(1.0 / n)
     rms = jnp.sqrt(rms_accum * inv_n + jnp.float32(1.0e-12))
     crest = peak / (rms + jnp.float32(1.0e-6))
     low_energy = low_accum * inv_n
@@ -148,8 +165,6 @@ def analyze(state: Dict[str, jnp.ndarray], block: jnp.ndarray, sr: float
 
     # correlation normalized by the product of per-channel RMS (cpp:102-109 —
     # note: not a true Pearson correlation, reproduced as-is).
-    l_energy = jnp.sqrt(jnp.sum(left * left, axis=-1) * inv_n)
-    r_energy = jnp.sqrt(jnp.sum(right * right, axis=-1) * inv_n)
     corr = jlimit(-1.0, 1.0,
                   corr_accum * inv_n / (l_energy * r_energy + jnp.float32(1.0e-6)))
 
@@ -209,8 +224,8 @@ def analyze(state: Dict[str, jnp.ndarray], block: jnp.ndarray, sr: float
     new_state = {
         "short_env": s_env,
         "long_env": l_env,
-        "low_state": low_seq[..., -1],
-        "high_state": high_state_seq[..., -1],
+        "low_state": low_state,
+        "high_state": high_state,
         "repetition_ema": repetition_ema,
         "fatigue_ema": fatigue_ema,
         "onset_cooldown": cooldown,

@@ -25,11 +25,11 @@ def _jump_coefficients(n: int):
     """(A_k, B_k) for k = 1..n such that rng_k = A_k·rng_0 + B_k (mod 2³²)."""
     a = np.empty(n, dtype=np.uint32)
     b = np.empty(n, dtype=np.uint32)
-    ak = np.uint32(1)
-    bk = np.uint32(0)
-    for k in range(n):
-        ak = np.uint32(ak * LCG_A)       # modular by uint32 wraparound
-        bk = np.uint32(bk * LCG_A + LCG_C)
+    ak, bk = 1, 0
+    mul, add = int(LCG_A), int(LCG_C)
+    for k in range(n):                    # python ints, masked mod 2³²
+        ak = (ak * mul) & 0xFFFFFFFF
+        bk = (bk * mul + add) & 0xFFFFFFFF
         a[k] = ak
         b[k] = bk
     return a, b

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from juicy_tpu.ops.scan_utils import _affine_compose, linear_scan
 
@@ -47,9 +47,12 @@ def _local_scan_block(a, b, init, axis_name: str):
         return y, None
 
     k = A_all.shape[0]
-    boundary, _ = jax.lax.scan(
-        compose_step, jnp.broadcast_to(jnp.asarray(init, jnp.float32), A_tot.shape),
-        (A_all, B_all, jnp.arange(k)))
+    init_b = jnp.broadcast_to(jnp.asarray(init, jnp.float32), A_tot.shape)
+    # the composed boundary is device-varying (depends on axis_index);
+    # mark the carry as varying over the sequence axis up front.
+    init_b = jax.lax.pvary(init_b, (axis_name,))
+    boundary, _ = jax.lax.scan(compose_step, init_b,
+                               (A_all, B_all, jnp.arange(k)))
     return A * boundary[..., None] + B
 
 

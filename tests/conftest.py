@@ -11,12 +11,21 @@ import os
 # which has only one chip; the multi-chip tests need the virtual mesh).
 # Set JUICY_TEST_TPU=1 to run the suite on the real chip instead: the golden
 # null tests pass there too (the drift-pinned transcendentals hold on TPU).
-if not os.environ.get("JUICY_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: repeated pytest runs skip recompilation.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+if not os.environ.get("JUICY_TEST_TPU"):
+    # The env may be pinned to the real TPU by a sitecustomize hook, so the
+    # env var alone is not enough — force the config at jax import time.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -36,14 +36,30 @@ def test_block_size_invariance_streaming(rng):
         assert res <= -100.0, f"{name}: block-size variance {res:.1f} dBFS"
 
 
-def test_texture_block_size_invariance(rng):
+def test_texture_block_size_invariance_mono(rng):
+    """Mono texture is block-size invariant. Stereo is NOT — by reference
+    design: the shared LCG interleaves channel draws per block (channel 0
+    consumes draws 1..N, channel 1 draws N+1..2N within each processBlock,
+    JuicyTexture/PluginProcessor.cpp:239), so the noise stream assignment
+    depends on the host block size."""
+    clip = make_clip(rng, 1, 2048)
+    outs = []
+    for block in (256, 1024):
+        plug = Plugin("texture", SR, 1, block)
+        p = plug.default_params()
+        outs.append(_run(plug, p, clip)[0])
+    assert residual_dbfs(outs[0], outs[1]) <= -80.0
+
+
+def test_texture_stereo_block_size_noise_quirk(rng):
+    """Documents the stereo LCG block-interleave quirk: different block sizes
+    give (slightly) different noise placement, as in the reference."""
     clip = make_clip(rng, 2, 2048)
     outs = []
     for block in (256, 1024):
         plug = Plugin("texture", SR, 2, block)
-        p = plug.default_params()
-        outs.append(_run(plug, p, clip)[0])
-    assert residual_dbfs(outs[0], outs[1]) <= -80.0
+        outs.append(_run(plug, plug.default_params(), clip)[0])
+    assert not np.array_equal(outs[0], outs[1])
 
 
 def test_metrics_pre_post_flow(rng):
