@@ -60,22 +60,32 @@ def make_batch(batch, channels, t, seed=7):
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
-def bench_config(stages, batch, warmup=1, iters=3):
+def bench_config(stages, batch, fused=False, iters=3):
     from juicy_tpu.runtime.plugin import Chain
 
     chain = Chain(stages, sr=SR, channels=CHANNELS, block_size=BLOCK)
     clips = jnp.asarray(make_batch(batch, CHANNELS, T))
 
-    def one_clip(clip, states):
-        out, states, _metrics = chain.run(states, clip)
-        return out, states
+    if fused:
+        from juicy_tpu.runtime.fast import fused_chain_run
 
-    @jax.jit
-    def run_batch(cs):
-        states = jax.vmap(lambda _: chain.init_state())(jnp.arange(cs.shape[0]))
-        out, st = jax.vmap(one_clip)(cs, states)
-        # tiny reduction so nothing is dead-code eliminated
-        return jnp.sum(out[..., -1]), out.shape
+        @jax.jit
+        def run_batch(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, st, _m = fused_chain_run(chain, states, cs)
+            return jnp.sum(out[..., -1]), out.shape
+    else:
+        def one_clip(clip, states):
+            out, states, _metrics = chain.run(states, clip)
+            return out, states
+
+        @jax.jit
+        def run_batch(cs):
+            states = jax.vmap(lambda _: chain.init_state())(jnp.arange(cs.shape[0]))
+            out, st = jax.vmap(one_clip)(cs, states)
+            # tiny reduction so nothing is dead-code eliminated
+            return jnp.sum(out[..., -1]), out.shape
 
     # warmup / compile
     t_compile = time.perf_counter()
@@ -109,11 +119,20 @@ def main():
             details[name] = bench_config(stages, BATCH)
         except Exception as e:  # keep the headline alive even if one config dies
             details[name] = {"error": repr(e)}
+    # fused (Pallas analyzer) path — the fast tier; batch must be 1024-aligned
+    for name in ("saturator", "full_chain"):
+        try:
+            details[name + "_fused"] = bench_config(CONFIGS[name], 1024,
+                                                    fused=True)
+        except Exception as e:
+            details[name + "_fused"] = {"error": repr(e)}
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 
-    full = details.get("full_chain", {})
+    full = details.get("full_chain_fused", {})
+    if "audio_sec_per_sec" not in full:
+        full = details.get("full_chain", {})
     value = float(full.get("audio_sec_per_sec", 0.0))
     print(json.dumps({
         "metric": "full-chain audio-sec/sec/chip @48kHz stereo (7 plugins, "

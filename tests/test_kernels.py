@@ -58,3 +58,27 @@ def test_fused_analyzer_rejects_bad_batch():
     state = _batched_state(4)
     with pytest.raises(ValueError):
         analyze_fused(state, jnp.zeros((4, 2, BLOCK)), SR, interpret=True)
+
+
+@pytest.mark.parametrize("name", ["saturator", "punch", "width", "infer"])
+def test_fused_step_matches_batch_step(rng, name):
+    from juicy_tpu.runtime.plugin import Plugin
+    from juicy_tpu.runtime.fast import fused_step
+
+    plug = Plugin(name, SR, 2, BLOCK)
+    params = plug.default_params()
+    b = TILE
+    blocks = jnp.asarray(
+        np.stack([make_clip(rng, 2, BLOCK) for _ in range(8)] * (b // 8)))
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+
+    out_f, st_f, m_f = fused_step(plug, params, states, blocks, interpret=True)
+    out_r, st_r, m_r = plug.batch_step(params, states, blocks)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_f["score"]),
+                               np.asarray(m_r["score"]), rtol=1e-5, atol=1e-4)
+    for leaf_f, leaf_r in zip(jax.tree.leaves(st_f["dsp"]),
+                              jax.tree.leaves(st_r["dsp"])):
+        np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_r),
+                                   rtol=1e-6, atol=1e-7)
