@@ -17,7 +17,14 @@ BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent compile cache: the heavy scan graphs compile once per machine;
+# later bench runs (and the driver's) start from the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -114,21 +121,30 @@ def bench_config(stages, batch, fused=False, iters=3):
 
 def main():
     details = {"device": str(jax.devices()[0]), "sr": SR, "channels": CHANNELS}
-    for name, stages in CONFIGS.items():
+    if os.path.exists("BENCH_DETAILS.json"):
+        try:  # accumulate across runs (compile cache makes reruns cheap)
+            with open("BENCH_DETAILS.json") as f:
+                prev = json.load(f)
+            details.update({k: v for k, v in prev.items()
+                            if isinstance(v, dict) and "audio_sec_per_sec" in v})
+        except Exception:
+            pass
+
+    def save():
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    # fused (Pallas analyzer) path first — the fast tier and the headline;
+    # batch must be 1024-aligned.
+    jobs = [("full_chain_fused", CONFIGS["full_chain"], 1024, True),
+            ("saturator_fused", CONFIGS["saturator"], 1024, True)]
+    jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
+    for name, stages, batch, fused in jobs:
         try:
-            details[name] = bench_config(stages, BATCH)
+            details[name] = bench_config(stages, batch, fused=fused)
         except Exception as e:  # keep the headline alive even if one config dies
             details[name] = {"error": repr(e)}
-    # fused (Pallas analyzer) path — the fast tier; batch must be 1024-aligned
-    for name in ("saturator", "full_chain"):
-        try:
-            details[name + "_fused"] = bench_config(CONFIGS[name], 1024,
-                                                    fused=True)
-        except Exception as e:
-            details[name + "_fused"] = {"error": repr(e)}
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+        save()
 
     full = details.get("full_chain_fused", {})
     if "audio_sec_per_sec" not in full:

@@ -60,6 +60,35 @@ def test_fused_analyzer_rejects_bad_batch():
         analyze_fused(state, jnp.zeros((4, 2, BLOCK)), SR, interpret=True)
 
 
+def test_saturator_full_step_kernel_matches(rng):
+    """The single-kernel saturator step == the reference scan step."""
+    from juicy_tpu.runtime.plugin import Plugin
+    from juicy_tpu.kernels.saturator_kernel import saturator_step_fused
+
+    plug = Plugin("saturator", SR, 2, BLOCK)
+    params = plug.default_params()
+    b = TILE
+    blocks = jnp.asarray(
+        np.stack([make_clip(rng, 2, BLOCK) for _ in range(8)] * (b // 8)))
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+
+    out_k, st_k, m_k = saturator_step_fused(plug, params, states, blocks,
+                                            interpret=True)
+    out_r, st_r, m_r = plug.batch_step(params, states, blocks)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-7)
+    for f in ("score", "pre_score", "post_score", "punch", "mono_safety"):
+        np.testing.assert_allclose(np.asarray(m_k[f]), np.asarray(m_r[f]),
+                                   rtol=1e-5, atol=1e-4, err_msg=f)
+    np.testing.assert_allclose(
+        np.asarray(st_k["dsp"]["tone_state"]),
+        np.asarray(st_r["dsp"]["tone_state"]), rtol=1e-6, atol=1e-7)
+    for f in ("short_env", "long_env", "repetition_ema", "fatigue_ema"):
+        np.testing.assert_allclose(
+            np.asarray(st_k["analyzer"][f]), np.asarray(st_r["analyzer"][f]),
+            rtol=1e-5, atol=1e-6, err_msg=f)
+
+
 @pytest.mark.parametrize("name", ["saturator", "punch", "width", "infer"])
 def test_fused_step_matches_batch_step(rng, name):
     from juicy_tpu.runtime.plugin import Plugin
