@@ -60,3 +60,55 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
         return out, last, corpus_metrics(last)
 
     return batched(clips)
+
+
+def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
+                         macro_batch: int = 256, mesh: Optional[Mesh] = None,
+                         save_every: int = 1):
+    """Corpus scoring with mid-run checkpoint/resume (elastic recovery).
+
+    Processes [B, C, T] clips in macro-batches; after every `save_every`
+    macro-batches the cursor and accumulated per-clip scores are persisted,
+    so a preempted job resumes exactly where it stopped — strictly beyond the
+    reference, whose state chunks are parameter-only (SURVEY.md §3.5).
+    Returns the per-clip final-block score array [B].
+    """
+    import os
+    import numpy as np
+    from juicy_tpu.runtime.state import load_state, save_state
+
+    clips = jnp.asarray(clips, jnp.float32)
+    b = clips.shape[0]
+    scores = np.zeros((b,), np.float32)
+    cursor = {"done": jnp.int32(0)}
+    template = {"scores": jnp.zeros((b,), jnp.float32)}
+    if os.path.exists(checkpoint_path):
+        saved_params, saved, meta = load_state(checkpoint_path, cursor, template)
+        cursor = {"done": saved_params["done"]} if "done" in saved_params else cursor
+        scores = np.asarray(saved["scores"]).copy()
+    start = int(cursor["done"])
+
+    def one_clip(clip):
+        state = plugin.init_state()
+        _out, _state, metrics = plugin.run(params, state, clip)
+        return metrics["score"][-1]
+
+    scorer = jax.jit(jax.vmap(one_clip))
+    done = start
+    steps_since_save = 0
+    while done < b:
+        end = min(b, done + macro_batch)
+        chunk = clips[done:end]
+        pad = macro_batch - chunk.shape[0]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+        s = np.asarray(scorer(chunk))[:end - done]
+        scores[done:end] = s
+        done = end
+        steps_since_save += 1
+        if steps_since_save >= save_every or done >= b:
+            save_state(checkpoint_path, {"done": jnp.int32(done)},
+                       {"scores": jnp.asarray(scores)},
+                       meta={"total": b})
+            steps_since_save = 0
+    return scores
