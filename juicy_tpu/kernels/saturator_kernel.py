@@ -108,8 +108,7 @@ def _make_kernel(channels: int):
         astate0 = (senv_ref[0], lenv_ref[0], low_ref[0], high_ref[0],
                    cd_ref[0]) + _zero_accums()
         tone0 = tuple(tone_ref[0, ch] for ch in range(channels))
-        astate, tone = jax.lax.fori_loop(0, n, body1, (astate0, tone0),
-                                         unroll=4)
+        astate, tone = jax.lax.fori_loop(0, n, body1, (astate0, tone0))
         pre_tacc[0], pre_onset[0], pre_rms[0] = astate[5], astate[6], astate[7]
         pre_peak[0], pre_lowe[0], pre_highe[0] = astate[8], astate[9], astate[10]
 
@@ -120,7 +119,7 @@ def _make_kernel(channels: int):
             return _analyzer_substep(acoeff, carry, half * (yl + yr))
 
         astate2 = astate[:5] + _zero_accums()
-        astate2 = jax.lax.fori_loop(0, n, body2, astate2, unroll=4)
+        astate2 = jax.lax.fori_loop(0, n, body2, astate2)
 
         senv_o[0], lenv_o[0], low_o[0], high_o[0], cd_o[0] = astate2[:5]
         post_tacc[0], post_onset[0], post_rms[0] = astate2[5], astate2[6], astate2[7]

@@ -62,3 +62,36 @@ def leaky_integrator(x, decay, init, axis: int = -1):
     tail feedback (JuicyMotion/PluginProcessor.cpp:131).
     """
     return linear_scan(decay, x, init, axis=axis)
+
+
+def _matrix_affine_compose(f, g):
+    """Compose affine maps x ↦ A·x + b applied in sequence (f first)."""
+    a1, b1 = f
+    a2, b2 = g
+    a = jnp.einsum("...ij,...jk->...ik", a2, a1)
+    b = jnp.einsum("...ij,...j->...i", a2, b1) + b2
+    return a, b
+
+
+def linear_matrix_scan(mats, vecs, init):
+    """Solve x[n] = A[n]·x[n−1] + b[n] in O(log N) depth.
+
+    `mats`: [N, ..., d, d], `vecs`: [N, ..., d], `init`: [..., d] (time first).
+    Returns xs [N, ..., d]. This is the parallel-in-time form for 2-pole
+    resonators (state [y, y₋₁], reference JuicyTexture/PluginProcessor.cpp:77-89)
+    and the gel/flesh spring systems.
+
+    Accuracy note: companion-matrix products have entries up to ~1/sin(θ)
+    (θ = pole angle), so f32 reassociation error scales like
+    ε·Q/sin(θ) — fine for moderate-Q/mid-frequency modes (≲1e-5 at Q≈50),
+    but the reference's high-Q low-frequency modal banks exceed the −80 dBFS
+    budget, which is why texture's production path keeps the sequential
+    channel-vectorized scan (models/texture.py). Use this form for
+    throughput-over-fidelity workloads or lower-Q systems.
+    """
+    mats = jnp.asarray(mats, jnp.float32)
+    vecs = jnp.asarray(vecs, jnp.float32)
+    A, B = jax.lax.associative_scan(_matrix_affine_compose, (mats, vecs),
+                                    axis=0)
+    init = jnp.asarray(init, jnp.float32)
+    return jnp.einsum("n...ij,...j->n...i", A, init) + B

@@ -33,6 +33,13 @@ def trace(log_dir: str = "/tmp/juicy_trace"):
         yield log_dir
 
 
+def enable_nan_checks(enabled: bool = True):
+    """Turn on jax_debug_nans — the sanitizer analog (SURVEY.md §5): the
+    functional design eliminates the reference's data-race class, so the
+    remaining hazard is numeric; this traps the first NaN-producing op."""
+    jax.config.update("jax_debug_nans", enabled)
+
+
 class ThroughputMeter:
     """Running audio-sec/sec counters per pipeline stage."""
 

@@ -121,6 +121,30 @@ def test_block_delay_matches_ring_buffer():
     np.testing.assert_array_equal(np.concatenate(outs), np.concatenate(refs))
 
 
+def test_linear_matrix_scan_modal_resonator():
+    """2x2 matrix scan == serial 2-pole modal resonator."""
+    from juicy_tpu.ops.scan_utils import linear_matrix_scan
+    rng = np.random.default_rng(9)
+    n = 400
+    exc = rng.standard_normal(n).astype(np.float32) * 0.3
+    # moderate-Q mid-frequency mode (see linear_matrix_scan accuracy note)
+    r, theta = 0.98, 0.3
+    a1, a2, g = F(2 * r * np.cos(theta)), F(-(r * r)), F(0.34)
+    # serial reference: y = g*e + a1*y1 + a2*y2
+    y1 = y2 = F(0.0)
+    ref = np.empty(n, np.float32)
+    for i in range(n):
+        y = g * exc[i] + a1 * y1 + a2 * y2
+        y2, y1 = y1, y
+        ref[i] = y
+    mats = np.broadcast_to(np.array([[a1, a2], [1.0, 0.0]], np.float32),
+                           (n, 2, 2))
+    vecs = np.stack([g * exc, np.zeros(n, np.float32)], axis=-1)
+    xs = np.asarray(linear_matrix_scan(jnp.asarray(mats), jnp.asarray(vecs),
+                                       jnp.zeros(2)))
+    np.testing.assert_allclose(xs[:, 0], ref, rtol=2e-4, atol=2e-5)
+
+
 def test_block_delay_zero_delay_is_identity():
     x = np.arange(32, dtype=np.float32)
     window = np.full(8, -1.0, np.float32)
