@@ -83,14 +83,11 @@ def bench_config(stages, batch, fused=False, iters=3):
             out, st, _m = fused_chain_run(chain, states, cs)
             return jnp.sum(out[..., -1]), out.shape
     else:
-        def one_clip(clip, states):
-            out, states, _metrics = chain.run(states, clip)
-            return out, states
-
         @jax.jit
         def run_batch(cs):
             states = jax.vmap(lambda _: chain.init_state())(jnp.arange(cs.shape[0]))
-            out, st = jax.vmap(one_clip)(cs, states)
+            # batch-major streaming: scan over blocks, vmapped steps inside
+            out, st, _m = chain.batched_run(states, cs)
             # tiny reduction so nothing is dead-code eliminated
             return jnp.sum(out[..., -1]), out.shape
 

@@ -149,6 +149,29 @@ class Plugin:
         out = jnp.moveaxis(outs, 0, -2).reshape(audio.shape)
         return out, state, metrics
 
+    def batched_run(self, params, states, clips,
+                    params_batched: bool = False):
+        """Stream a [B, C, T] corpus, batch-major: scan over blocks outside,
+        vmapped step inside. Compiles to much better TPU code than
+        vmap(run) — the sequential sample scans see the whole batch per
+        step instead of being nested per clip."""
+        clips = jnp.asarray(clips, jnp.float32)
+        b, c, t = clips.shape
+        n = self.block_size
+        if t % n:
+            raise ValueError(f"clip length {t} not divisible by block size {n}")
+        nb = t // n
+        blocks = jnp.moveaxis(clips.reshape(b, c, nb, n), 2, 0)
+
+        def scan_step(st, blk):
+            out, st, metrics = self.batch_step(params, st, blk,
+                                               params_batched=params_batched)
+            return st, (out, metrics)
+
+        states, (outs, metrics) = jax.lax.scan(scan_step, states, blocks)
+        out = jnp.moveaxis(outs, 0, 2).reshape(b, c, t)
+        return out, states, metrics
+
 
 class Chain:
     """Serial insert chain of plugins (a DAW channel strip).
@@ -207,4 +230,23 @@ class Chain:
 
         states, (outs, metrics) = jax.lax.scan(scan_step, states, blocks)
         out = jnp.moveaxis(outs, 0, -2).reshape(audio.shape)
+        return out, states, metrics
+
+    def batched_run(self, states, clips):
+        """Batch-major corpus streaming (see Plugin.batched_run)."""
+        clips = jnp.asarray(clips, jnp.float32)
+        b, c, t = clips.shape
+        n = self.block_size
+        if t % n:
+            raise ValueError(f"clip length {t} not divisible by block size {n}")
+        nb = t // n
+        blocks = jnp.moveaxis(clips.reshape(b, c, nb, n), 2, 0)
+
+        def scan_step(sts, blk):
+            out, sts2, metrics = jax.vmap(
+                lambda st, bl: self.step(self.params, st, bl))(sts, blk)
+            return sts2, (out, metrics)
+
+        states, (outs, metrics) = jax.lax.scan(scan_step, states, blocks)
+        out = jnp.moveaxis(outs, 0, 2).reshape(b, c, t)
         return out, states, metrics
