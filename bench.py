@@ -35,7 +35,7 @@ BLOCK = 512
 NUM_BLOCKS = 94          # ~1.0 s of audio per clip
 T = BLOCK * NUM_BLOCKS
 CHANNELS = 2
-BATCH = 512              # clips per chip
+BATCH = 4096             # clips per chip (latency-bound scans scale ~free)
 TARGET_X_REALTIME = 1000.0
 
 CHAIN = [
@@ -133,8 +133,8 @@ def main():
 
     # fused (Pallas analyzer) path first — the fast tier and the headline;
     # batch must be 1024-aligned.
-    jobs = [("full_chain_fused", CONFIGS["full_chain"], 1024, True),
-            ("saturator_fused", CONFIGS["saturator"], 1024, True)]
+    jobs = [("full_chain_fused", CONFIGS["full_chain"], BATCH, True),
+            ("saturator_fused", CONFIGS["saturator"], BATCH, True)]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
     for name, stages, batch, fused in jobs:
         try:

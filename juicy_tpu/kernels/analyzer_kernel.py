@@ -47,6 +47,7 @@ def _kernel(coeff_ref, mono_ref, senv_ref, lenv_ref, low_ref, high_ref,
             cd_ref, senv_o, lenv_o, low_o, high_o, cd_o,
             tacc_o, onset_o, rms_o, peak_o, lowe_o, highe_o):
     n = mono_ref.shape[1]
+    sub = mono_ref.shape[2]
     att_s = coeff_ref[0, 0]
     rel_s = coeff_ref[0, 1]
     att_l = coeff_ref[0, 2]
@@ -92,13 +93,23 @@ def _kernel(coeff_ref, mono_ref, senv_ref, lenv_ref, low_ref, high_ref,
         return (s_env, l_env, low_s, high_s, cd,
                 tacc, onsets, rms, peak, lowe, highe)
 
-    zf = jnp.zeros((SUB, LANE), jnp.float32)
-    zi = jnp.zeros((SUB, LANE), jnp.int32)
+    zf = jnp.zeros((sub, LANE), jnp.float32)
+    zi = jnp.zeros((sub, LANE), jnp.int32)
     init = (senv_ref[0], lenv_ref[0], low_ref[0], high_ref[0], cd_ref[0],
             zf, zi, zf, zf, zf, zf)
+
+    # Manual inner unroll: amortize per-iteration loop overhead; U must
+    # divide the block size (block sizes are powers of two ≥ 64).
+    U = 8 if n % 8 == 0 else 1
+
+    def body_u(k, carry):
+        for j in range(U):
+            carry = body(k * U + j, carry)
+        return carry
+
     (s_env, l_env, low_s, high_s, cd,
      tacc, onsets, rms, peak, lowe, highe) = jax.lax.fori_loop(
-        0, n, body, init, unroll=4)
+        0, n // U, body_u, init)
 
     senv_o[0] = s_env
     lenv_o[0] = l_env
@@ -116,8 +127,11 @@ def _kernel(coeff_ref, mono_ref, senv_ref, lenv_ref, low_ref, high_ref,
 @functools.partial(jax.jit, static_argnames=("sr", "interpret"))
 def _run_kernel(mono_tiles, senv, lenv, low, high, cd, sr: float,
                 interpret: bool = False):
-    """mono_tiles [T, N, 8, 128]; state tiles [T, 8, 128]."""
-    num_tiles, n = mono_tiles.shape[0], mono_tiles.shape[1]
+    """mono_tiles [G, N, S, 128]; state tiles [G, S, 128] (S = 8·tiles/group,
+    multiple (8,128) VPU tiles per grid step for instruction-level
+    parallelism in the sequential loop)."""
+    num_tiles, n, sub = (mono_tiles.shape[0], mono_tiles.shape[1],
+                         mono_tiles.shape[2])
     coeffs = jnp.stack([
         tau_coeff(0.003, sr), tau_coeff(0.030, sr),
         tau_coeff(0.050, sr), tau_coeff(0.300, sr),
@@ -126,16 +140,16 @@ def _run_kernel(mono_tiles, senv, lenv, low, high, cd, sr: float,
         jnp.float32(0.0),
     ]).astype(jnp.float32).reshape(1, 8)
 
-    tile_f = jax.ShapeDtypeStruct((num_tiles, SUB, LANE), jnp.float32)
-    tile_i = jax.ShapeDtypeStruct((num_tiles, SUB, LANE), jnp.int32)
-    state_spec = pl.BlockSpec((1, SUB, LANE), lambda t: (t, 0, 0),
+    tile_f = jax.ShapeDtypeStruct((num_tiles, sub, LANE), jnp.float32)
+    tile_i = jax.ShapeDtypeStruct((num_tiles, sub, LANE), jnp.int32)
+    state_spec = pl.BlockSpec((1, sub, LANE), lambda t: (t, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, SUB, LANE), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, n, sub, LANE), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             state_spec, state_spec, state_spec, state_spec, state_spec,
         ],
@@ -158,15 +172,25 @@ def analyze_fused(state: Dict[str, jnp.ndarray], block: jnp.ndarray,
     if b % TILE:
         raise ValueError(f"batch {b} must be a multiple of {TILE}")
     num_tiles = b // TILE
+    # group several (8,128) tiles per grid step (ILP in the sample loop),
+    # bounded by VMEM: audio blocks are double-buffered across grid steps,
+    # so cap at ~4 MB of audio per grid step (16 MB VMEM on v5e).
+    group = 1
+    for g in (8, 4, 2):
+        if num_tiles % g == 0 and n * g * TILE * 4 <= (1 << 22):
+            group = g
+            break
+    num_groups = num_tiles // group
+    sub = SUB * group
 
     left = block[:, 0, :]
     right = block[:, 1, :] if channels > 1 else left
     mono = jnp.float32(0.5) * (left + right)
-    mono_tiles = mono.reshape(num_tiles, SUB, LANE, n).transpose(0, 3, 1, 2)
+    mono_tiles = mono.reshape(num_groups, sub, LANE, n).transpose(0, 3, 1, 2)
 
     def tiles(x, dtype=jnp.float32):
         return jnp.broadcast_to(jnp.asarray(x, dtype), (b,)) \
-            .reshape(num_tiles, SUB, LANE)
+            .reshape(num_groups, sub, LANE)
 
     (s_env, l_env, low_s, high_s, cd,
      tacc, onsets, rms_acc, peak, lowe, highe) = _run_kernel(
