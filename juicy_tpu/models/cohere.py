@@ -11,16 +11,18 @@ tail feedback ``tail = matched + tail·decay`` (cpp:99-118).
 Reproduced quirk: the per-channel split filters lpA/lpB are zero-reinitialized
 every block (cpp:103-104) while the analysis filters persist.
 
-TPU design: all recurrences here are linear one-poles and leaky integrators →
-associative scans; zero sequential sample loops.
+TPU design: two fused batched scans (mono analysis; per-channel render) with
+tiny carries and the exact serial op/summation order of the C++ — at corpus
+batch sizes a batched sequential scan outruns stacked associative passes and
+nulls bit-exactly.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
-from juicy_tpu.ops.scan_utils import leaky_integrator, onepole_lowpass
 from juicy_tpu.utils.convert import db_to_gain, gain_to_db, jlimit, onepole_coeff
 
 PARAMS = (
@@ -68,18 +70,33 @@ def process(params, carry, block, sr: float):
     high_coeff = onepole_coeff(2400.0, sr)
     eps = jnp.float32(1.0e-6)
 
-    # --- block-level mono 3-band analysis (cpp:62-76), persistent filters ---
+    # --- block-level mono 3-band analysis (cpp:62-76), persistent filters.
+    # One fused scan: filter states AND energy accumulators in the carry —
+    # the exact serial op order and summation order of the C++ loop.
     ch1 = min(1, channels - 1)
     mono = jnp.float32(0.5) * (block[..., 0, :] + block[..., ch1, :])
-    low_lp = onepole_lowpass(mono, low_coeff, carry["analysis_low"])
-    high_lp = onepole_lowpass(mono, high_coeff, carry["analysis_high"])
-    low = low_lp
-    high = mono - high_lp
-    mid = mono - low - high
+    batch_shape = mono.shape[:-1]
+
+    def analysis_step(c, m):
+        lo, hi, le, me, he = c
+        lo = lo + low_coeff * (m - lo)
+        hi = hi + high_coeff * (m - hi)
+        low_v = lo
+        high_v = m - hi
+        mid_v = m - low_v - high_v
+        return (lo, hi, le + low_v * low_v, me + mid_v * mid_v,
+                he + high_v * high_v), None
+
+    z = jnp.zeros(batch_shape, jnp.float32)
+    (a_low, a_high, low_e, mid_e, high_e), _ = jax.lax.scan(
+        analysis_step,
+        (jnp.broadcast_to(carry["analysis_low"], batch_shape),
+         jnp.broadcast_to(carry["analysis_high"], batch_shape), z, z, z),
+        jnp.moveaxis(mono, -1, 0), unroll=8)
     inv_n = jnp.float32(1.0 / max(1, n))
-    low_e = jnp.sum(low * low, axis=-1) * inv_n
-    mid_e = jnp.sum(mid * mid, axis=-1) * inv_n
-    high_e = jnp.sum(high * high, axis=-1) * inv_n
+    low_e = low_e * inv_n
+    mid_e = mid_e * inv_n
+    high_e = high_e * inv_n
 
     # --- learn-mode EMA targets (cpp:78-84) ---
     a = jnp.float32(0.02)
@@ -105,31 +122,47 @@ def process(params, carry, block, sr: float):
     fb = jlimit(0.0, 0.93, decay)
 
     # --- per-channel render (cpp:99-118): split filters reset to zero each
-    # block (quirk, cpp:103-104); tails persist per channel ---
+    # block (quirk, cpp:103-104); tails persist per channel. One fused scan
+    # with the exact serial op order ---
     def bb(v):
+        v = jnp.asarray(v, jnp.float32)
+        return v if v.ndim == 0 else v[..., None]
+
+    dry = block
+    render_batch = block.shape[:-1]          # [..., C]
+    zero_c = jnp.zeros(render_batch, jnp.float32)
+
+    def render_step(c, d):
+        lp_a, lp_b, tail = c
+        lp_a = lp_a + low_coeff * (d - lp_a)
+        lp_b = lp_b + high_coeff * (d - lp_b)
+        low_v = lp_a * bb(low_comp)
+        high_v = (d - lp_b) * bb(high_comp)
+        mid_v = (d - lp_a - (d - lp_b)) * bb(mid_comp)
+        matched = low_v + mid_v + high_v
+        tail = matched + tail * bb(fb)
+        wet = matched + bb(tail_amt) * jnp.float32(0.35) * tail
+        return (lp_a, lp_b, tail), wet
+
+    (_, _, tail_f), wet_t = jax.lax.scan(
+        render_step,
+        (zero_c, zero_c, jnp.broadcast_to(carry["tail"], render_batch)),
+        jnp.moveaxis(dry, -1, 0), unroll=8)
+    wet = jnp.moveaxis(wet_t, 0, -1)
+
+    def bbn(v):
         v = jnp.asarray(v, jnp.float32)
         return v if v.ndim == 0 else v[..., None, None]
 
-    dry = block
-    zero = jnp.zeros(block.shape[:-1], jnp.float32)
-    lp_a = onepole_lowpass(dry, low_coeff, zero)
-    lp_b = onepole_lowpass(dry, high_coeff, zero)
-    low_r = lp_a * bb(low_comp)
-    high_r = (dry - lp_b) * bb(high_comp)
-    mid_r = (dry - lp_a - (dry - lp_b)) * bb(mid_comp)
-    matched = low_r + mid_r + high_r
-
-    tail_seq = leaky_integrator(matched, bb(fb), carry["tail"])
-    wet = matched + bb(tail_amt) * jnp.float32(0.35) * tail_seq
-    out = (dry + bb(mix) * (wet - dry)) * bb(out_gain)
+    out = (dry + bbn(mix) * (wet - dry)) * bbn(out_gain)
 
     new_carry = {
         "target_low": t_low,
         "target_mid": t_mid,
         "target_high": t_high,
-        "analysis_low": low_lp[..., -1],
-        "analysis_high": high_lp[..., -1],
-        "tail": tail_seq[..., -1],
+        "analysis_low": a_low,
+        "analysis_high": a_high,
+        "tail": tail_f,
         "context_fit": context_fit,
     }
     return out, new_carry

@@ -19,11 +19,12 @@ each channel's loop, so stereo advances it twice per block (cpp:108-115); and
 the phase wrap subtracts ``2·twoPi`` = 4π when the phase passes 2π
 (cpp:114-115) — both preserved exactly.
 
-TPU design: pass 1 and the slew/phase accumulators run as one tiny-carry
-``lax.scan`` (bit-faithful sequential float32 op order — the phase integrator
-is non-contractive, so closed forms would drift from the reference); the
-lowpass / tail / budget-envelope recurrences are linear (some time-varying)
-and run as associative scans; all waveshaping is fused elementwise XLA.
+TPU design: pass 1 is a tiny-carry ``lax.scan``; pass 2 runs as one fused
+batched scan per channel, threading the shared slew/phase/budget state
+ch0 → ch1 exactly like the C++ channel loop (bit-faithful f32 op order — the
+phase integrator is non-contractive, so reassociated/closed forms would drift
+from the reference). Per-sample sin/exp go through the drift-pinned
+polynomials in ops/precise.py.
 """
 
 from __future__ import annotations
@@ -32,8 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
-from juicy_tpu.ops.scan_utils import linear_scan
-from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, jmap5, onepole_coeff, tau_coeff
+from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, jmap5, tau_coeff
 
 PARAMS = (
     base.ParamSpec("microvar", "Micro Variation", 0.0, 1.0, 0.55),
@@ -111,24 +111,6 @@ def _detection_pass(mono_abs, carry, micro_var, sr):
     return final
 
 
-def _slew_phase_pass(carry_vals, targets, motion_inc, total_steps, var_slew):
-    """Shared slew + phase accumulator over C·N steps (cpp:110-115),
-    bit-faithful sequential float32 op order."""
-    vt_t, vtr_t, vtl_t = targets
-    one = jnp.float32(1.0)
-
-    def step(c, _):
-        vt, vtr, vtl, phase = c
-        vt = var_slew * vt + (one - var_slew) * vt_t
-        vtr = var_slew * vtr + (one - var_slew) * vtr_t
-        vtl = var_slew * vtl + (one - var_slew) * vtl_t
-        phase = phase + motion_inc
-        phase = jnp.where(phase > TWO_PI, phase - FOUR_PI, phase)
-        return (vt, vtr, vtl, phase), (vt, vtr, vtl, phase)
-
-    final, seqs = jax.lax.scan(step, carry_vals, None, length=total_steps,
-                               unroll=8)
-    return final, seqs
 
 
 def process(params, carry, block, sr: float):
@@ -161,94 +143,89 @@ def process(params, carry, block, sr: float):
     repetition_scale = one - repeat_ctrl * rep_norm * jnp.float32(0.65)
     recovery = one + repeat_ctrl * (one - rep_norm) * jnp.float32(0.25)
 
-    # --- shared slew/phase over C·N steps (quirk: advances once per channel
-    # per sample, cpp:108-115) ---
-    batch = mono.shape[:-1]
-    slew_init = (jnp.broadcast_to(carry["variation_tone"], batch),
-                 jnp.broadcast_to(carry["variation_transient"], batch),
-                 jnp.broadcast_to(carry["variation_tail"], batch),
-                 jnp.broadcast_to(carry["motion_phase"], batch))
-    (vt_f, vtr_f, vtl_f, phase_f), (vt_s, vtr_s, vtl_s, phase_s) = \
-        _slew_phase_pass(slew_init, (vt_t, vtr_t, vtl_t), motion_inc,
-                         channels * n, var_slew)
-    # scan emits along axis 0: [C·N, ...] -> [..., C, N]
-    def resh(s):
-        s = jnp.moveaxis(s, 0, -1)
-        return s.reshape(s.shape[:-1] + (channels, n))
-    vt_s, vtr_s, vtl_s, phase_s = map(resh, (vt_s, vtr_s, vtl_s, phase_s))
-
-    def b(v):   # block-constant scalar -> broadcast over [..., C, N]
-        v = jnp.asarray(v, jnp.float32)
-        return v if v.ndim == 0 else v[..., None, None]
-
-    # --- pass 2 rendering (cpp:101-142), parallel over time ---
-    dry = block[..., :channels, :]
-    ch_offset = jnp.array([0.0, 0.85] + [0.85] * max(0, channels - 2),
-                          jnp.float32)[:channels][:, None]
+    # --- pass 2 (cpp:101-142): per-channel fused scans, threading the SHARED
+    # slew/LFO/budget state ch0 → ch1 exactly like the C++ channel loop.
     # Drift-pinned sin/exp (ops/precise.py): the LFO feeds a near-unity tail
     # feedback, so libm-vs-XLA ulps would otherwise amplify past −80 dBFS.
     from juicy_tpu.ops.precise import onepole_coeff32, sin32
-    motion_lfo = sin32(phase_s + ch_offset)
-    lfo_depth = (jnp.float32(250.0) + jnp.float32(550.0) * b(micro_var)) * \
-        (jnp.float32(0.5) + jnp.float32(0.9) * b(depth))
-    cutoff = jlimit(120.0, 4200.0,
-                    jnp.float32(900.0)
-                    + vt_s * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * b(depth))
-                    + motion_lfo * lfo_depth)
-    lp_coeff = onepole_coeff32(cutoff, sr)
 
-    # Time-varying one-pole lowpass per channel (cpp:122) — associative scan.
-    lp = linear_scan(one - lp_coeff, lp_coeff * dry, carry["lp"])
-    hp = dry - lp
-    prev = jnp.concatenate([jnp.expand_dims(carry["prev"], -1),
-                            dry[..., :-1]], axis=-1)
-    transient = dry - prev
-
-    transient_boost = one + vtr_s * jnp.float32(1.2) * (jnp.float32(0.6) + jnp.float32(0.7) * b(depth)) \
-        + jnp.float32(0.35) * b(micro_var) * motion_lfo * (jnp.float32(0.6) + jnp.float32(0.8) * b(depth))
-    tone_shift = lp * (one + vt_s * jnp.float32(0.65) * (jnp.float32(0.55) + jnp.float32(0.7) * b(depth))) \
-        + hp * transient_boost \
-        + transient * (jnp.float32(0.12) + jnp.float32(0.30) * b(micro_var)) * (jnp.float32(0.5) + jnp.float32(0.8) * b(depth))
-
-    # Time-varying tail feedback (cpp:131) — associative scan.
-    fb_seq = jlimit(0.0, 0.93, b(tail_feedback) + vtl_s * jnp.float32(0.06))
-    tail = linear_scan(fb_seq, tone_shift, carry["tail"])
-
-    wet = tone_shift * b(repetition_scale) * b(recovery) \
-        + (jnp.float32(0.26) + jnp.float32(0.24) * b(micro_var)) \
-        * (jnp.float32(0.6) + jnp.float32(0.7) * b(depth)) * tail
-
-    # Contrast-budget limiter env (cpp:134-137): SHARED mono state advanced
-    # through ch0's block then ch1's block — thread the scan across channels.
-    budget_init = jnp.broadcast_to(carry["budget_env"], batch)
-    be_rows = []
-    be = budget_init
-    for ch in range(channels):
-        row = linear_scan(budget_coeff,
-                          (one - budget_coeff) * jnp.abs(wet[..., ch, :]),
-                          be)
-        be = row[..., -1]
-        be_rows.append(row)
-    budget_env = jnp.stack(be_rows, axis=-2)
-
+    batch = mono.shape[:-1]
+    dry = block[..., :channels, :]
     budget_target = jmap(contrast_budget, 0.8, 0.25)
-    limiter_gain = jnp.where(budget_env > b(budget_target),
-                             b(budget_target) / (budget_env + jnp.float32(1.0e-5)),
-                             one)
-    wet = wet * limiter_gain
+    lfo_depth = (jnp.float32(250.0) + jnp.float32(550.0) * micro_var) * \
+        (jnp.float32(0.5) + jnp.float32(0.9) * depth)
 
-    wet_boost = one + jnp.float32(0.9) * b(micro_var) * (jnp.float32(0.55) + jnp.float32(0.9) * b(depth))
-    out = (dry + b(mix) * (wet * wet_boost - dry)) * b(out_gain)
+    def make_step(ch_offset):
+        def step(c, d):
+            vt, vtr, vtl, phase, lp, tail, prev, be = c
+            vt = var_slew * vt + (one - var_slew) * vt_t
+            vtr = var_slew * vtr + (one - var_slew) * vtr_t
+            vtl = var_slew * vtl + (one - var_slew) * vtl_t
+            phase = phase + motion_inc
+            phase = jnp.where(phase > TWO_PI, phase - FOUR_PI, phase)
+
+            lfo = sin32(phase + ch_offset)
+            cutoff = jlimit(120.0, 4200.0,
+                            jnp.float32(900.0)
+                            + vt * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * depth)
+                            + lfo * lfo_depth)
+            lp_c = onepole_coeff32(cutoff, sr)
+            lp = lp + lp_c * (d - lp)
+            hp = d - lp
+            transient = d - prev
+            prev = d
+
+            transient_boost = one + vtr * jnp.float32(1.2) * (jnp.float32(0.6) + jnp.float32(0.7) * depth) \
+                + jnp.float32(0.35) * micro_var * lfo * (jnp.float32(0.6) + jnp.float32(0.8) * depth)
+            tone_shift = lp * (one + vt * jnp.float32(0.65) * (jnp.float32(0.55) + jnp.float32(0.7) * depth)) \
+                + hp * transient_boost \
+                + transient * (jnp.float32(0.12) + jnp.float32(0.30) * micro_var) * (jnp.float32(0.5) + jnp.float32(0.8) * depth)
+            tail = tone_shift + tail * jlimit(0.0, 0.93, tail_feedback + vtl * jnp.float32(0.06))
+
+            wet = tone_shift * repetition_scale * recovery \
+                + (jnp.float32(0.26) + jnp.float32(0.24) * micro_var) \
+                * (jnp.float32(0.6) + jnp.float32(0.7) * depth) * tail
+            be = budget_coeff * be + (one - budget_coeff) * jnp.abs(wet)
+            limiter_gain = jnp.where(be > budget_target,
+                                     budget_target / (be + jnp.float32(1.0e-5)),
+                                     one)
+            wet = wet * limiter_gain
+
+            wet_boost = one + jnp.float32(0.9) * micro_var * (jnp.float32(0.55) + jnp.float32(0.9) * depth)
+            y = (d + mix * (wet * wet_boost - d)) * out_gain
+            return (vt, vtr, vtl, phase, lp, tail, prev, be), y
+        return step
+
+    vt = jnp.broadcast_to(carry["variation_tone"], batch)
+    vtr = jnp.broadcast_to(carry["variation_transient"], batch)
+    vtl = jnp.broadcast_to(carry["variation_tail"], batch)
+    phase = jnp.broadcast_to(carry["motion_phase"], batch)
+    be = jnp.broadcast_to(carry["budget_env"], batch)
+    lp_f, tail_f, prev_f, outs = [], [], [], []
+    for ch in range(channels):
+        off = jnp.float32(0.0) if ch == 0 else jnp.float32(0.85)
+        lp0 = jnp.broadcast_to(carry["lp"][..., ch], batch)
+        tail0 = jnp.broadcast_to(carry["tail"][..., ch], batch)
+        prev0 = jnp.broadcast_to(carry["prev"][..., ch], batch)
+        (vt, vtr, vtl, phase, lp_c, tail_c, prev_c, be), y_t = jax.lax.scan(
+            make_step(off), (vt, vtr, vtl, phase, lp0, tail0, prev0, be),
+            jnp.moveaxis(dry[..., ch, :], -1, 0), unroll=8)
+        lp_f.append(lp_c)
+        tail_f.append(tail_c)
+        prev_f.append(prev_c)
+        outs.append(jnp.moveaxis(y_t, 0, -1))
+    out = jnp.stack(outs, axis=-2)
 
     new_carry = {
         "env": env, "repetition": repetition, "budget_env": be,
-        "variation_tone": vt_f, "variation_transient": vtr_f,
-        "variation_tail": vtl_f,
+        "variation_tone": vt, "variation_transient": vtr,
+        "variation_tail": vtl,
         "variation_tone_target": vt_t, "variation_transient_target": vtr_t,
         "variation_tail_target": vtl_t,
         "onset_cooldown": cooldown, "rng": rng,
-        "tail": tail[..., -1], "lp": lp[..., -1], "prev": dry[..., -1],
-        "motion_phase": phase_f,
+        "tail": jnp.stack(tail_f, axis=-1), "lp": jnp.stack(lp_f, axis=-1),
+        "prev": jnp.stack(prev_f, axis=-1),
+        "motion_phase": phase,
     }
     return out, new_carry
 

@@ -6,19 +6,20 @@ one-pole followers of |x| (cpp:83-84,96-97); ``transient = max(0, fast−slow)``
 ``transientCurve = transient^map(slam, 0.95→0.55)``; punch and sustain gains;
 then a soft(tanh)/hard-clip blend and dry/wet mix.
 
-TPU design: only the two |x| followers are sequential — they are *unbranched*
-one-poles (same coefficient whether rising or falling, cpp:96-97), i.e. LINEAR
-recurrences, so even they run as associative scans. The entire processor is
-parallel over time. Everything after the envelopes is stateless elementwise
-math that XLA fuses.
+TPU design: only the two |x| followers are sequential — *unbranched* linear
+one-poles (same coefficient rising or falling, cpp:96-97). They run as ONE
+fused batched scan with a 2-scalar-per-channel carry (sequential beats the
+O(N·logN) associative form at corpus batch sizes and is bit-exact vs the
+serial C++); everything after the envelopes is stateless elementwise math
+that XLA fuses.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
-from juicy_tpu.ops.scan_utils import linear_scan
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, tau_coeff
 
 PARAMS = (
@@ -64,11 +65,25 @@ def process(params, carry, block, sr: float):
         return v if v.ndim == 0 else v[..., None, None]
 
     # Linear envelope followers (cpp:96-97): env' = (1−c)|x| + c·env.
+    # One fused sequential scan (exact reference op order); at corpus batch
+    # sizes a batched sequential scan outruns the O(N·logN) associative form
+    # and is bit-exact vs the serial C++.
     fast_c = tau_coeff(0.0015, sr)
     slow_c = tau_coeff(0.110, sr)
     one = jnp.float32(1.0)
-    f_env = linear_scan(fast_c, (one - fast_c) * adry, carry["fast_env"])
-    s_env = linear_scan(slow_c, (one - slow_c) * adry, carry["slow_env"])
+
+    def env_step(c, a):
+        f, s = c
+        f = (one - fast_c) * a + fast_c * f
+        s = (one - slow_c) * a + slow_c * s
+        return (f, s), (f, s)
+
+    (_, _), (f_env_t, s_env_t) = jax.lax.scan(
+        env_step, (jnp.broadcast_to(carry["fast_env"], adry.shape[:-1]),
+                   jnp.broadcast_to(carry["slow_env"], adry.shape[:-1])),
+        jnp.moveaxis(adry, -1, 0), unroll=8)
+    f_env = jnp.moveaxis(f_env_t, 0, -1)
+    s_env = jnp.moveaxis(s_env_t, 0, -1)
 
     transient = jnp.maximum(jnp.float32(0.0), f_env - s_env)
     curve_exp = jmap(slam_amt, 0.95, 0.55)

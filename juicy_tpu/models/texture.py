@@ -16,14 +16,18 @@ and advanced inside the channel loop, so in stereo channel 0 consumes draws
 
 TPU decomposition:
   * noise: closed-form LCG jump → the entire block's draws in parallel,
-    bit-exact with the serial C++ (ops/noise.py);
-  * envelopes / band splits / core mix: AR-envelope scan + associative
-    one-pole scans, all before the material stage;
-  * material stage: a channel-vectorized ``lax.scan`` carrying the modal /
-    spring / waveguide state (the genuinely sequential part — waveguide
-    feedback and nonlinear springs);
-  * tail integrator and DC blocker: associative scans; wet auto-gain env and
-    protect limiter: tiny-carry scans.
+    bit-exact with the serial C++ (ops/noise.py); its highpass pre-filter is
+    folded into the fused scan;
+  * everything else: ONE channel-vectorized ``lax.scan`` carrying the full
+    per-channel state, in the exact serial float32 op order of the C++ inner
+    loop. One fused scan (instead of stacked envelope/band/tail/DC/limiter
+    passes) both maximizes throughput at corpus batch sizes and keeps the
+    high-Q modal inputs bit-exact (reassociation noise would be amplified
+    ~Q× past the −80 dBFS null budget — see ops/precise.py).
+  * modal pole coefficients evaluate through the drift-pinned exp32/cos32.
+
+`material` selects the compiled code path and must be static; group
+heterogeneous batches by material (PARITY.md, known limitations).
 """
 
 from __future__ import annotations
@@ -33,9 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from juicy_tpu.models import base
-from juicy_tpu.ops.envelopes import ar_envelope
 from juicy_tpu.ops.noise import lcg_advance, lcg_sequence, white_from_bits
-from juicy_tpu.ops.scan_utils import leaky_integrator, linear_scan, onepole_lowpass
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, onepole_coeff, tau_coeff
 
 PARAMS = (
@@ -104,12 +106,12 @@ def _modal_bank_step(y1, y2, exc, a1, a2, gains):
     return y, y1  # (new y1, new y2)
 
 
-def _material_scan(mode: int, p, carry, seqs, sr: float):
-    """Run the sequential material stage for static material `mode`.
+def _material_substep(mode: int, p, sr: float, L: int):
+    """Per-sample material update for static `mode` (cpp:135-237).
 
-    seqs: per-sample inputs stacked time-major: dict of [N, C(,...)] arrays.
-    Returns (shaped [C, N], new material states).
-    Formulas: cpp:135-237 (switch over materials).
+    Returns (extract, step, pack): extract(carry_dict) -> mat state tuple;
+    step(mat, core, impact, body, trail, hp_state) -> (shaped, mat');
+    pack(mat, carry_dict) -> updated dict entries.
     """
     texture = p["texture"]
     tail_shape = p["tailshape"]
@@ -123,9 +125,8 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
         omega = jnp.float32(2.0 * PI) * f0 / jnp.float32(sr)
         k = omega * omega
 
-        def step(st, inp):
-            pos, vel = st
-            core, body, trail = inp["core"], inp["body"], inp["trail"]
+        def step(mat, core, impact, body, trail, hp_state):
+            pos, vel = mat
             zeta = jmap(trail, 0.62, 1.45)
             cdamp = jnp.float32(2.0) * zeta * omega
             force = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
@@ -134,11 +135,10 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
             pos = pos + vel
             shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
             shaped = jnp.tanh(shaped * (jnp.float32(0.96) + jnp.float32(0.28) * texture))
-            return (pos, vel), shaped
+            return shaped, (pos, vel)
 
-        init_st = (carry["spring_pos"], carry["spring_vel"])
-        (pos, vel), shaped = jax.lax.scan(step, init_st, seqs, unroll=4)
-        return shaped, {"spring_pos": pos, "spring_vel": vel}
+        return (lambda c: (c["spring_pos"], c["spring_vel"]), step,
+                lambda m: {"spring_pos": m[0], "spring_vel": m[1]})
 
     if mode == 1:   # Metal (cpp:152-169) — per-sample coefficients via `bend`
         f0 = jnp.float32(320.0) + jnp.float32(140.0) * texture
@@ -148,9 +148,8 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
         t60s = jnp.array([0.56, 0.40, 0.26, 0.17], jnp.float32) * t_scale
         gains = jnp.array([0.34, 0.20, 0.13, 0.09], jnp.float32)
 
-        def step(st, inp):
-            y1, y2 = st
-            core, impact, hp_state = inp["core"], inp["impact"], inp["hp_state"]
+        def step(mat, core, impact, body, trail, hp_state):
+            y1, y2 = mat
             exc = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
             bend = one + jnp.float32(0.09) * impact
             a1, a2 = _modal_coeffs(f0 * ratios * bend[..., None], t60s, sr)
@@ -159,14 +158,12 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
             bright = jnp.float32(0.03) * impact * (core - hp_state)
             shaped = (jnp.float32(0.44) * core + jnp.float32(0.42) * modes + bright) \
                 * (jnp.float32(0.78) + jnp.float32(0.10) * texture)
-            return (y, y1), shaped
+            return shaped, (y, y1)
 
-        init_st = (carry["modal_y1"], carry["modal_y2"])
-        (y1, y2), shaped = jax.lax.scan(step, init_st, seqs, unroll=2)
-        return shaped, {"modal_y1": y1, "modal_y2": y2}
+        return (lambda c: (c["modal_y1"], c["modal_y2"]), step,
+                lambda m: {"modal_y1": m[0], "modal_y2": m[1]})
 
     if mode in (2, 3):   # Wood (cpp:170-192) / Plastic (cpp:193-212)
-        L = carry["waveguide"].shape[-1]
         if mode == 2:
             cavity_hz = jnp.float32(92.0) + jnp.float32(95.0) * (
                 jnp.float32(0.5) * weight + jnp.float32(0.5) * texture)
@@ -198,9 +195,8 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
 
         a1, a2 = _modal_coeffs(freqs, t60s, sr)
 
-        def step(st, inp):
-            y1, y2, wg, widx, prev_wave = st
-            core, impact, body = inp["core"], inp["impact"], inp["body"]
+        def step(mat, core, impact, body, trail, hp_state):
+            y1, y2, wg, widx, prev_wave = mat
             exc = core * (exc_scale[0] + exc_scale[1] * impact)
             # interpolated circular waveguide read (cpp:91-105)
             pos = widx.astype(jnp.float32) - delay_samp
@@ -225,13 +221,13 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
             modes = jnp.sum(y, axis=-1)
             shaped = (out_mix[0] * core + out_mix[1] * delayed
                       + out_mix[2] * modes) * (out_mix[3] + out_mix[4] * texture)
-            return (y, y1, wg, widx, delayed), shaped
+            return shaped, (y, y1, wg, widx, delayed)
 
-        init_st = (carry["modal_y1"], carry["modal_y2"], carry["waveguide"],
-                   carry["wave_idx"], carry["prev_wave"])
-        (y1, y2, wg, widx, prev_wave), shaped = jax.lax.scan(step, init_st, seqs)
-        return shaped, {"modal_y1": y1, "modal_y2": y2, "waveguide": wg,
-                        "wave_idx": widx, "prev_wave": prev_wave}
+        return (lambda c: (c["modal_y1"], c["modal_y2"], c["waveguide"],
+                           c["wave_idx"], c["prev_wave"]), step,
+                lambda m: {"modal_y1": m[0], "modal_y2": m[1],
+                           "waveguide": m[2], "wave_idx": m[3],
+                           "prev_wave": m[4]})
 
     # mode 4: Flesh-like (cpp:214-236)
     w_a = jnp.float32(2.0 * PI) * (jnp.float32(38.0) + jnp.float32(52.0) * texture) / jnp.float32(sr)
@@ -242,9 +238,8 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
     c_b = jnp.float32(2.0) * jmap(tail_shape, 0.70, 1.34) * w_b
     k_couple = jnp.float32(0.14) + jnp.float32(0.24) * texture
 
-    def step(st, inp):
-        pa, va, pb, vb = st
-        core, body = inp["core"], inp["body"]
+    def step(mat, core, impact, body, trail, hp_state):
+        pa, va, pb, vb = mat
         force = core * (jnp.float32(0.55) + jnp.float32(0.65) * body)
         acc_a = k_a * (force - pa) - c_a * va - k_couple * (pa - pb)
         acc_b = k_b * (pa - pb) - c_b * vb
@@ -256,13 +251,12 @@ def _material_scan(mode: int, p, carry, seqs, sr: float):
         nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
         shaped = jnp.tanh((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
                           * (jnp.float32(0.98) + jnp.float32(0.16) * texture))
-        return (pa, va, pb, vb), shaped
+        return shaped, (pa, va, pb, vb)
 
-    init_st = (carry["flesh_pos_a"], carry["flesh_vel_a"],
-               carry["flesh_pos_b"], carry["flesh_vel_b"])
-    (pa, va, pb, vb), shaped = jax.lax.scan(step, init_st, seqs, unroll=4)
-    return shaped, {"flesh_pos_a": pa, "flesh_vel_a": va,
-                    "flesh_pos_b": pb, "flesh_vel_b": vb}
+    return (lambda c: (c["flesh_pos_a"], c["flesh_vel_a"],
+                       c["flesh_pos_b"], c["flesh_vel_b"]), step,
+            lambda m: {"flesh_pos_a": m[0], "flesh_vel_a": m[1],
+                       "flesh_pos_b": m[2], "flesh_vel_b": m[3]})
 
 
 def static_material(params) -> int:
@@ -311,107 +305,100 @@ def process(params, carry, block, sr: float):
     dc_r = jnp.float32(0.995)
     auto_gain_base = jmap(texture, 0.78, 0.54)             # cpp:75
     one = jnp.float32(1.0)
-
-    dry = block
-    driven = dry * jnp.float32(MATERIAL_INPUT_TRIM[mode])  # cpp:117
-    adry = jnp.abs(dry)
-
-    # --- envelope + band splits (cpp:120-131) in ONE tiny-carry scan.
-    # The split one-poles feed the modal resonators whose Q amplifies any
-    # reassociation noise past the null budget, so they use the exact
-    # sequential op order (st += c·(x − st)) instead of associative scans.
-    def pre_step(c, xs):
-        env_c, lp_c, hp_c = c
-        a, d = xs
-        coeff = jnp.where(a > env_c, env_atk, env_rel)
-        env_c = coeff * env_c + (one - coeff) * a
-        lp_c = lp_c + split_low * (d - lp_c)
-        hp_c = hp_c + split_high * (d - hp_c)
-        return (env_c, lp_c, hp_c), (env_c, lp_c, hp_c)
-
-    (_, _, _), (env_t, lp_t, hp_t) = jax.lax.scan(
-        pre_step, (carry["env"], carry["lp"], carry["hp"]),
-        (jnp.moveaxis(adry, -1, 0), jnp.moveaxis(driven, -1, 0)), unroll=8)
-    env = jnp.moveaxis(env_t, 0, -1)
-    lp = jnp.moveaxis(lp_t, 0, -1)
-    hp = jnp.moveaxis(hp_t, 0, -1)
-
-    impact = jlimit(0.0, 1.0, jnp.maximum(jnp.float32(0.0), adry - env) * jnp.float32(10.0))
-    body = jlimit(0.0, 1.0, env * jnp.float32(3.2))
-    trail = jlimit(0.0, 1.0, one - impact) * tail_shape
-
-    low = lp * low_boost
-    high = driven - hp
-    mid = driven - lp - high
-    core = low + mid + high * (jnp.float32(0.9) + texture * jnp.float32(1.3))
+    in_trim = jnp.float32(MATERIAL_INPUT_TRIM[mode])
+    mat_trim = jnp.float32(MATERIAL_TRIM[mode])
 
     # --- shared-LCG roughness noise (cpp:239-243), closed-form parallel ---
     states = lcg_sequence(carry["rng"], channels * n).reshape(channels, n)
     white = white_from_bits(states)
-    noise_hp = onepole_lowpass(white, jnp.float32(0.08), carry["noise_hp"])
-    rough = white - noise_hp
     new_rng = lcg_advance(carry["rng"], channels * n)
 
-    # --- material stage: channel-vectorized sequential scan ---
-    p = dict(texture=texture, tailshape=tail_shape, damping_amt=damping_amt,
-             damping_mul=damping_mul, weight=weight)
-    seqs = {"core": jnp.moveaxis(core, -1, 0),
-            "impact": jnp.moveaxis(impact, -1, 0),
-            "body": jnp.moveaxis(body, -1, 0),
-            "trail": jnp.moveaxis(trail, -1, 0),
-            "hp_state": jnp.moveaxis(hp, -1, 0)}
-    shaped_t, mat_states = _material_scan(mode, p, carry, seqs, sr)
-    shaped = jnp.moveaxis(shaped_t, 0, -1)   # [C, N]
+    extract, mat_step, pack = _material_substep(
+        mode, dict(texture=texture, tailshape=tail_shape,
+                   damping_amt=damping_amt, damping_mul=damping_mul,
+                   weight=weight), sr, carry["waveguide"].shape[-1])
 
-    # --- roughness + dynamics (cpp:239-246) ---
-    shaped = shaped + rough * (jnp.float32(0.004) + jnp.float32(0.022) * texture) \
-        * (jnp.float32(0.14) + jnp.float32(0.64) * impact)
-    dynamics = one + impact * (jnp.float32(0.18) + texture * jnp.float32(0.12)) \
-        + body * jnp.float32(0.06)
-    shaped = shaped * dynamics * jnp.float32(MATERIAL_TRIM[mode])
+    # --- ONE fused scan: the complete C++ inner loop per sample ---
+    def step(c, xs):
+        env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat = c
+        d, w = xs                     # [C] dry sample, white draw
 
-    # --- tail integrator (cpp:248-250): associative scan ---
-    tail_input = jlimit(-2.0, 2.0, shaped) * (jnp.float32(0.45) + jnp.float32(0.55) * trail)
-    tail = leaky_integrator(tail_input, decay, carry["tail"])
-    wet = shaped + tail * (jnp.float32(0.30) + jnp.float32(0.45) * trail)
+        driven = d * in_trim
+        adry = jnp.abs(d)
+        env_c = jnp.where(adry > env, env_atk, env_rel)
+        env = env_c * env + (one - env_c) * adry
+        impact = jlimit(0.0, 1.0, jnp.maximum(jnp.float32(0.0), adry - env)
+                        * jnp.float32(10.0))
+        body = jlimit(0.0, 1.0, env * jnp.float32(3.2))
+        trail = jlimit(0.0, 1.0, one - impact) * tail_shape
 
-    # --- wet auto-gain (cpp:252-257): AR scan ---
-    wet_env = ar_envelope(jnp.abs(wet), wet_atk, wet_rel, carry["wet_env"])
-    auto_comp = auto_gain_base / (one + jnp.float32(1.8) * wet_env)
-    wet = wet * jlimit(0.18, 1.0, auto_comp)
+        lp = lp + split_low * (driven - lp)
+        hp = hp + split_high * (driven - hp)
+        low = lp * low_boost
+        high = driven - hp
+        mid = driven - lp - high
+        core = low + mid + high * (jnp.float32(0.9) + texture * jnp.float32(1.3))
 
-    mixed = dry + mix * (wet - dry)
-    pre_dc = mixed * out_gain
+        shaped, mat = mat_step(mat, core, impact, body, trail, hp)
 
-    # --- DC blocker (cpp:263-265): y = x − x₋₁ + R·y₋₁, associative scan ---
-    x_prev = jnp.concatenate([carry["dc_in"][..., None], pre_dc[..., :-1]], axis=-1)
-    dc_b = pre_dc - x_prev
-    dc_out = linear_scan(dc_r, dc_b, carry["dc_out"])
+        # roughness noise (cpp:239-243)
+        noise_hp = noise_hp + jnp.float32(0.08) * (w - noise_hp)
+        rough = w - noise_hp
+        shaped = shaped + rough * (jnp.float32(0.004) + jnp.float32(0.022) * texture) \
+            * (jnp.float32(0.14) + jnp.float32(0.64) * impact)
 
-    # --- protect limiter (cpp:267-275): sequential min/recover scan ---
-    def protect_step(pg, x):
-        peak = jnp.abs(x)
+        dynamics = one + impact * (jnp.float32(0.18) + texture * jnp.float32(0.12)) \
+            + body * jnp.float32(0.06)
+        shaped = shaped * dynamics * mat_trim
+
+        # tail integrator (cpp:248-250)
+        tail_input = jlimit(-2.0, 2.0, shaped) * (jnp.float32(0.45)
+                                                  + jnp.float32(0.55) * trail)
+        tail = tail_input + tail * decay
+        wet = shaped + tail * (jnp.float32(0.30) + jnp.float32(0.45) * trail)
+
+        # wet auto-gain (cpp:252-257)
+        wet_abs = jnp.abs(wet)
+        wet_c = jnp.where(wet_abs > wet_env, wet_atk, wet_rel)
+        wet_env = wet_c * wet_env + (one - wet_c) * wet_abs
+        auto_comp = auto_gain_base / (one + jnp.float32(1.8) * wet_env)
+        wet = wet * jlimit(0.18, 1.0, auto_comp)
+
+        mixed = d + mix * (wet - d)
+        pre_dc = mixed * out_gain
+
+        # DC blocker (cpp:263-265)
+        dc = pre_dc - dc_in + dc_r * dc_out
+        dc_in = pre_dc
+        dc_out = dc
+
+        # protect limiter (cpp:267-275)
+        peak = jnp.abs(dc)
         over = peak > jnp.float32(0.88)
-        pg_over = jnp.minimum(pg, (jnp.float32(0.88) / peak) * jnp.float32(0.98))
-        pg_rec = pg + (one - pg) * jnp.float32(0.0028)
-        pg = jnp.where(over, pg_over, pg_rec)
-        y = x * jlimit(0.2, 1.0, pg)
-        return pg, y
+        pg = jnp.where(over,
+                       jnp.minimum(pg, (jnp.float32(0.88) / peak) * jnp.float32(0.98)),
+                       pg + (one - pg) * jnp.float32(0.0028))
+        o = dc * jlimit(0.2, 1.0, pg)
+        out = jlimit(-0.98, 0.98, o)
 
-    protect_gain, out_t = jax.lax.scan(protect_step, carry["protect_gain"],
-                                       jnp.moveaxis(dc_out, -1, 0), unroll=8)
-    out = jlimit(-0.98, 0.98, jnp.moveaxis(out_t, 0, -1))
+        return (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg,
+                mat), out
+
+    init_c = (carry["env"], carry["lp"], carry["hp"], carry["noise_hp"],
+              carry["tail"], carry["wet_env"], carry["dc_in"],
+              carry["dc_out"], carry["protect_gain"], extract(carry))
+    xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))
+    unroll = 4 if mode in (0, 4) else 1   # waveguide/modal carry is large
+    (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat), out_t = \
+        jax.lax.scan(step, init_c, xs, unroll=unroll)
+    out = jnp.moveaxis(out_t, 0, -1)
 
     new_carry = dict(carry)
-    new_carry.update(mat_states)
+    new_carry.update(pack(mat))
     new_carry.update({
-        "tail": tail[..., -1], "lp": lp[..., -1], "hp": hp[..., -1],
-        "env": env[..., -1], "wet_env": wet_env[..., -1],
-        "noise_hp": noise_hp[..., -1],
-        "dc_in": pre_dc[..., -1],
-        "dc_out": dc_out[..., -1],
-        "protect_gain": protect_gain,
-        "rng": new_rng,
+        "env": env, "lp": lp, "hp": hp, "noise_hp": noise_hp, "tail": tail,
+        "wet_env": wet_env, "dc_in": dc_in, "dc_out": dc_out,
+        "protect_gain": pg, "rng": new_rng,
     })
     return out, new_carry
 
