@@ -106,6 +106,12 @@ def _modal_bank_step(y1, y2, exc, a1, a2, gains):
     return y, y1  # (new y1, new y2)
 
 
+def _serial_mode_sum(y):
+    """m0+m1+m2+m3 in the C++'s serial add order (pairwise reassociation
+    noise gets amplified by the waveguide feedback loop past −80 dBFS)."""
+    return ((y[..., 0] + y[..., 1]) + y[..., 2]) + y[..., 3]
+
+
 def _material_substep(mode: int, p, sr: float, L: int):
     """Per-sample material update for static `mode` (cpp:135-237).
 
@@ -154,7 +160,7 @@ def _material_substep(mode: int, p, sr: float, L: int):
             bend = one + jnp.float32(0.09) * impact
             a1, a2 = _modal_coeffs(f0 * ratios * bend[..., None], t60s, sr)
             y, y1_old = _modal_bank_step(y1, y2, exc, a1, a2, gains)
-            modes = jnp.sum(y, axis=-1)
+            modes = _serial_mode_sum(y)
             bright = jnp.float32(0.03) * impact * (core - hp_state)
             shaped = (jnp.float32(0.44) * core + jnp.float32(0.42) * modes + bright) \
                 * (jnp.float32(0.78) + jnp.float32(0.10) * texture)
@@ -218,7 +224,7 @@ def _material_substep(mode: int, p, sr: float, L: int):
             widx = jnp.mod(widx + 1, L)
 
             y, y1_old = _modal_bank_step(y1, y2, exc, a1, a2, gains)
-            modes = jnp.sum(y, axis=-1)
+            modes = _serial_mode_sum(y)
             shaped = (out_mix[0] * core + out_mix[1] * delayed
                       + out_mix[2] * modes) * (out_mix[3] + out_mix[4] * texture)
             return shaped, (y, y1, wg, widx, delayed)
