@@ -84,6 +84,24 @@ def test_dp_sp_mesh_full_chain_dryrun():
     mod.dryrun_multichip(8)
 
 
+def test_grouped_materials_match_single(rng):
+    """Mixed-material corpus == per-clip runs with static materials."""
+    from juicy_tpu.parallel.grouping import run_grouped
+    clips = np.stack([make_clip(rng, 2, 1024) for _ in range(4)])
+    materials = [0, 3, 0, 1]
+    plug = Plugin("texture", SR, 2, 512)
+    params = plug.default_params()
+    out, scores = run_grouped(plug, params, clips, materials)
+    for i, m in enumerate(materials):
+        solo = Plugin("texture", SR, 2, 512)
+        p = solo.default_params()
+        solo._static["material"] = m
+        o, _, met = solo.run(p, solo.init_state(), jnp.asarray(clips[i]))
+        np.testing.assert_allclose(out[i], np.asarray(o), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(scores[i], np.asarray(met["score"][-1]),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_entry_compiles():
     import importlib.util, pathlib
     spec = importlib.util.spec_from_file_location(
