@@ -55,6 +55,8 @@ CONFIGS = {
     "punch": [("punch", "Solar Snap")],
     "texture": [("texture", None)],
     "infer": [("infer", "Reference Lens")],
+    "motion": [("motion", None)],
+    "cohere": [("cohere", None)],
     "full_chain": CHAIN,
 }
 
@@ -136,6 +138,9 @@ def main():
     jobs = [("full_chain_fused", CONFIGS["full_chain"], BATCH, True),
             ("saturator_fused", CONFIGS["saturator"], BATCH, True)]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
+    # chain batch sweep: the heavier stages stop scaling past a few thousand
+    # clips, so the chain optimum may differ from the single-plugin optimum.
+    jobs += [(f"full_chain_b{b}", CHAIN, b, False) for b in (1024, 2048, 8192)]
     for name, stages, batch, fused in jobs:
         try:
             details[name] = bench_config(stages, batch, fused=fused)
@@ -143,10 +148,11 @@ def main():
             details[name] = {"error": repr(e)}
         save()
 
-    full = details.get("full_chain_fused", {})
-    if "audio_sec_per_sec" not in full:
-        full = details.get("full_chain", {})
-    value = float(full.get("audio_sec_per_sec", 0.0))
+    candidates = [v for k, v in details.items()
+                  if k.startswith("full_chain") and isinstance(v, dict)
+                  and "audio_sec_per_sec" in v]
+    value = max((float(v["audio_sec_per_sec"]) for v in candidates),
+                default=0.0)
     print(json.dumps({
         "metric": "full-chain audio-sec/sec/chip @48kHz stereo (7 plugins, "
                   "pre+post analysis)",
