@@ -68,24 +68,12 @@ def fused_run(plugin: Plugin, params, states, clips, interpret: bool = False):
 
 def fused_chain_run(chain, states, clips, interpret: bool = False):
     """Stream a [B, C, T] corpus through a Chain with every stage on the
-    fused path (runtime analog of Chain.run)."""
-    clips = jnp.asarray(clips, jnp.float32)
-    b, c, t = clips.shape
-    n = chain.block_size
-    if t % n:
-        raise ValueError(f"clip length {t} not divisible by block size {n}")
-    nb = t // n
-    blocks = jnp.moveaxis(clips.reshape(b, c, nb, n), 2, 0)
-
-    def scan_step(sts, blk):
-        out = blk
-        new_sts, metrics = [], []
-        for plug, params, st in zip(chain.plugins, chain.params, sts):
-            out, st, m = fused_step(plug, params, st, out, interpret=interpret)
-            new_sts.append(st)
-            metrics.append(m)
-        return new_sts, (out, metrics)
-
-    states, (outs, metrics) = jax.lax.scan(scan_step, states, blocks)
-    out = jnp.moveaxis(outs, 0, 2).reshape(b, c, t)
-    return out, states, metrics
+    fused path. Stage-major like Chain.batched_run: each stage's block scan
+    carries only its own state."""
+    out = jnp.asarray(clips, jnp.float32)
+    new_states, metrics = [], []
+    for plug, params, st in zip(chain.plugins, chain.params, states):
+        out, st2, m = fused_run(plug, params, st, out, interpret=interpret)
+        new_states.append(st2)
+        metrics.append(m)
+    return out, new_states, metrics

@@ -233,20 +233,19 @@ class Chain:
         return out, states, metrics
 
     def batched_run(self, states, clips):
-        """Batch-major corpus streaming (see Plugin.batched_run)."""
-        clips = jnp.asarray(clips, jnp.float32)
-        b, c, t = clips.shape
-        n = self.block_size
-        if t % n:
-            raise ValueError(f"clip length {t} not divisible by block size {n}")
-        nb = t // n
-        blocks = jnp.moveaxis(clips.reshape(b, c, nb, n), 2, 0)
+        """Batch-major corpus streaming, stage-major across the chain.
 
-        def scan_step(sts, blk):
-            out, sts2, metrics = jax.vmap(
-                lambda st, bl: self.step(self.params, st, bl))(sts, blk)
-            return sts2, (out, metrics)
-
-        states, (outs, metrics) = jax.lax.scan(scan_step, states, blocks)
-        out = jnp.moveaxis(outs, 0, 2).reshape(b, c, t)
-        return out, states, metrics
+        Each stage streams the whole corpus through its own block scan before
+        the next stage starts (semantically identical to interleaving —
+        stages only communicate through the audio), so every stage's state
+        stays inside its own scan: the block scan never carries the combined
+        state of all plugins (texture's waveguide alone is ~100 MB at corpus
+        batch sizes and would ride the carry of every block step otherwise).
+        """
+        out = jnp.asarray(clips, jnp.float32)
+        new_states, metrics = [], []
+        for plug, params, st in zip(self.plugins, self.params, states):
+            out, st2, m = plug.batched_run(params, st, out)
+            new_states.append(st2)
+            metrics.append(m)
+        return out, new_states, metrics
