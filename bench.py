@@ -146,8 +146,9 @@ def main():
     # to re-measure everything) — compiles on this box take minutes per config
     # and the persistent cache keeps reruns honest.
     force = bool(os.environ.get("JUICY_BENCH_FORCE"))
+    always = {"full_chain_fused", "full_chain"}
     for name, stages, batch, fused in jobs:
-        if (not force and not name.startswith("full_chain")
+        if (not force and name not in always
                 and isinstance(details.get(name), dict)
                 and "audio_sec_per_sec" in details[name]):
             continue

@@ -19,19 +19,17 @@ def block_delay_read(window, x, delay_samples, axis: int = -1):
     first) along `axis`; `x` is the current block. Returns the delayed block
     (same shape as x). Equivalent to a ring buffer primed with `window`.
     """
+    import jax.lax as lax
     x = jnp.asarray(x, jnp.float32)
     window = jnp.asarray(window, jnp.float32)
     d = window.shape[axis]
     ext = jnp.concatenate([window, x], axis=axis)
     n = x.shape[axis]
-    start = d - delay_samples          # traced ok: dynamic slice
-    idx = [slice(None)] * ext.ndim
     ax = axis % ext.ndim
     starts = [0] * ext.ndim
-    starts[ax] = start
+    starts[ax] = d - delay_samples     # traced ok: dynamic slice
     sizes = list(ext.shape)
     sizes[ax] = n
-    import jax.lax as lax
     return lax.dynamic_slice(ext, starts, sizes)
 
 

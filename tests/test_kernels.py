@@ -60,6 +60,26 @@ def test_fused_analyzer_rejects_bad_batch():
         analyze_fused(state, jnp.zeros((4, 2, BLOCK)), SR, interpret=True)
 
 
+def test_fused_run_matches_batched_run(rng):
+    """Streamed fused path (fused_run) == streamed scan path (batched_run)."""
+    from juicy_tpu.runtime.plugin import Plugin
+    from juicy_tpu.runtime.fast import fused_run
+
+    plug = Plugin("width", SR, 2, BLOCK)
+    params = plug.default_params()
+    b = TILE
+    clips = jnp.asarray(
+        np.stack([make_clip(rng, 2, BLOCK * 2) for _ in range(4)] * (b // 4)))
+    states_f = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+    states_r = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+    out_f, _, m_f = fused_run(plug, params, states_f, clips, interpret=True)
+    out_r, _, m_r = plug.batched_run(params, states_r, clips)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m_f["score"]),
+                               np.asarray(m_r["score"]), rtol=1e-5, atol=1e-4)
+
+
 def test_saturator_full_step_kernel_matches(rng):
     """The single-kernel saturator step == the reference scan step."""
     from juicy_tpu.runtime.plugin import Plugin
