@@ -118,6 +118,35 @@ def bench_config(stages, batch, fused=False, iters=3):
     }
 
 
+def bench_realtime_latency(iters=50):
+    """Single-stream serving latency: one [2, 512] block through the full
+    chain per call, dispatch included — the realtime host-bridge mode. The
+    AU/VST3 deadline at 48 kHz / 512 frames is 10.67 ms; below that, one TPU
+    chip can stand in for the reference plugin chain live."""
+    from juicy_tpu.runtime.plugin import Chain
+
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    states = chain.init_state()
+    block = jnp.asarray(make_batch(1, CHANNELS, BLOCK)[0])
+    step = chain.jit_step
+    out, states, _ = step(chain.params, states, block)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, states, _ = step(chain.params, states, block)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    deadline = BLOCK / SR
+    return {
+        "block_ms": round(1e3 * deadline, 3),
+        "median_ms": round(1e3 * times[len(times) // 2], 3),
+        "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 3),
+        "realtime_capable": bool(times[int(len(times) * 0.95)] < deadline),
+    }
+
+
 def main():
     details = {"device": str(jax.devices()[0]), "sr": SR, "channels": CHANNELS}
     if os.path.exists("BENCH_DETAILS.json"):
@@ -156,6 +185,13 @@ def main():
             details[name] = bench_config(stages, batch, fused=fused)
         except Exception as e:  # keep the headline alive even if one config dies
             details[name] = {"error": repr(e)}
+        save()
+
+    if force or "realtime_latency" not in details:
+        try:
+            details["realtime_latency"] = bench_realtime_latency()
+        except Exception as e:
+            details["realtime_latency"] = {"error": repr(e)}
         save()
 
     candidates = [v for k, v in details.items()

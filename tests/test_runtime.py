@@ -150,6 +150,27 @@ def test_param_normalization_roundtrip():
     assert plug.defn.param("juiciness").readonly
 
 
+def test_params_batched_sweep(rng):
+    """Per-clip parameter grids (§2.4 param-sweep parallelism): batching the
+    drive across clips == per-clip runs with those drives."""
+    import jax
+    clip = make_clip(rng, 2, 512)
+    plug = Plugin("saturator", SR, 2, 512)
+    base = plug.default_params()
+    drives = jnp.asarray([0.0, 6.0, 12.0, 24.0], jnp.float32)
+    params_b = {k: jnp.broadcast_to(v, (4,)) for k, v in base.items()}
+    params_b["drive"] = drives
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(4))
+    blocks = jnp.broadcast_to(jnp.asarray(clip), (4, 2, 512))
+    out_b, _, m_b = plug.batch_step(params_b, states, blocks,
+                                    params_batched=True)
+    for i, d in enumerate(drives):
+        p = dict(base, drive=jnp.float32(d))
+        out_i, _, _ = plug.step(p, plug.init_state(), jnp.asarray(clip))
+        np.testing.assert_allclose(np.asarray(out_b[i]), np.asarray(out_i),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_automation_curve_streaming(rng):
     """Per-block parameter automation (BASELINE config #3)."""
     clip = make_clip(rng, 2, 4096)
