@@ -23,7 +23,6 @@ tests/test_kernels.py against the scan path).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

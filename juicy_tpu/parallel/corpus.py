@@ -10,13 +10,12 @@ psum over ICI).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from juicy_tpu.analyzer import METRIC_FIELDS
 from juicy_tpu.parallel.mesh import batch_sharding, make_mesh
 from juicy_tpu.runtime.plugin import Plugin
 

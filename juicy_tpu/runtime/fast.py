@@ -13,9 +13,6 @@ Semantics are identical to Plugin.batch_step (same oracle suite applies).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 

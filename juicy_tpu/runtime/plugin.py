@@ -35,7 +35,6 @@ import jax.numpy as jnp
 
 from juicy_tpu.analyzer import analyze, analyzer_init
 from juicy_tpu.models.base import ProcessorDef, get_processor
-from juicy_tpu.utils.convert import jlimit
 
 
 def _default_finalize(params, pre, post, carry=None):
