@@ -65,11 +65,16 @@ def leaky_integrator(x, decay, init, axis: int = -1):
 
 
 def _matrix_affine_compose(f, g):
-    """Compose affine maps x ↦ A·x + b applied in sequence (f first)."""
+    """Compose affine maps x ↦ A·x + b applied in sequence (f first).
+
+    precision=HIGHEST: TPU matmuls otherwise run at reduced (bf16-pass)
+    precision, which the resonator Q amplifies.
+    """
     a1, b1 = f
     a2, b2 = g
-    a = jnp.einsum("...ij,...jk->...ik", a2, a1)
-    b = jnp.einsum("...ij,...j->...i", a2, b1) + b2
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.einsum("...ij,...jk->...ik", a2, a1, precision=hi)
+    b = jnp.einsum("...ij,...j->...i", a2, b1, precision=hi) + b2
     return a, b
 
 
@@ -94,4 +99,5 @@ def linear_matrix_scan(mats, vecs, init):
     A, B = jax.lax.associative_scan(_matrix_affine_compose, (mats, vecs),
                                     axis=0)
     init = jnp.asarray(init, jnp.float32)
-    return jnp.einsum("n...ij,...j->n...i", A, init) + B
+    return jnp.einsum("n...ij,...j->n...i", A, init,
+                      precision=jax.lax.Precision.HIGHEST) + B
