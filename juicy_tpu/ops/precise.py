@@ -11,11 +11,15 @@ JuicyMotion's per-sample LFO sin + cutoff exp
 Any reimplementation — even a second C++ build against a different libm —
 drifts the same way; the fix is to pin ONE evaluation.
 
-These are plain-f32 Horner polynomials using only IEEE mul/add, which XLA CPU
-compiles without FMA contraction, so jitted JAX, numpy oracles, and the
-framework agree BIT-EXACTLY (validated in tests/test_ops_precise.py). They
-work on numpy scalars/arrays and jnp tracers alike. Absolute accuracy is
-better than 1e-7 over the documented domains — the same class as libm, so
+These are plain-f32 Horner polynomials using only IEEE mul/add. numpy and
+eager-jnp evaluation are BIT-identical — which covers the two places that
+matter for drift: the test oracles, and XLA's trace-time *constant folding*
+of every block-constant coefficient (resonator radii/angles). Fully-jitted
+vector evaluation may still differ by a few ulps (XLA contracts/schedules
+the chain in compiled loops); the only in-jit per-sample uses (Motion's LFO
+sin and cutoff exp) feed contractive paths where ulps decay. Validated in
+tests/test_ops_precise.py. They work on numpy scalars/arrays and jnp tracers
+alike; absolute accuracy is libm-class over the documented domains, so
 fidelity to the C++ reference is unchanged while null tests become stable.
 
 Domains:
