@@ -100,6 +100,98 @@ def _envelope_onset_scan(abs_mono, state, sr: float):
     return s_env, l_env, cooldown, count, accum
 
 
+# ---------------------------------------------------------------------------
+# Fused-lane form: the analyzer's sequential per-sample work as a composable
+# scan body, so the chain executor (runtime/chain_fused.py) can run many
+# analyzer instances (one per chain stage, pre and post) inside a handful of
+# shared scans instead of one scan per analyze() call.
+#
+# Carry per lane: (s_env, l_env, cooldown, t_accum, count,
+#                  low_state, high_state, low_acc, high_acc)
+# The band-energy accumulators run serially in the carry — exactly the C++
+# summation order (JuicinessAnalyzer.cpp:79-84) — while the stateless
+# reductions (rms/peak/side/corr, cpp:76-96,102-109) are computed vectorized
+# from the materialized stream by `stream_stats`.
+# ---------------------------------------------------------------------------
+
+def lane_init(state: Dict[str, jnp.ndarray], batch_shape):
+    z = jnp.zeros(batch_shape, jnp.float32)
+    return (jnp.broadcast_to(state["short_env"], batch_shape),
+            jnp.broadcast_to(state["long_env"], batch_shape),
+            jnp.broadcast_to(state["onset_cooldown"], batch_shape),
+            z, jnp.zeros(batch_shape, jnp.int32),
+            jnp.broadcast_to(state["low_state"], batch_shape),
+            jnp.broadcast_to(state["high_state"], batch_shape), z, z)
+
+
+def make_lane_body(sr: float):
+    """Per-sample lane body: (carry, l, r) -> carry'. Exact op order of
+    JuicinessAnalyzer.cpp:57-92 (envelopes, onset w/ cooldown, band splits,
+    serial band-energy accumulation)."""
+    attack_short = tau_coeff(0.003, sr)
+    release_short = tau_coeff(0.030, sr)
+    attack_long = tau_coeff(0.050, sr)
+    release_long = tau_coeff(0.300, sr)
+    low_coeff = onepole_coeff(250.0, sr)
+    high_coeff = onepole_coeff(2500.0, sr)
+    cooldown_samples = jnp.int32(int(sr * 0.035))
+    one = jnp.float32(1.0)
+
+    def body(c, l, r):
+        s_env, l_env, cooldown, accum, count, lo, hi, lo_acc, hi_acc = c
+        mono = jnp.float32(0.5) * (l + r)
+        x = jnp.abs(mono)
+        cs = jnp.where(x > s_env, attack_short, release_short)
+        s_env = (one - cs) * x + cs * s_env
+        cl = jnp.where(x > l_env, attack_long, release_long)
+        l_env = (one - cl) * x + cl * l_env
+        transient = jnp.maximum(jnp.float32(0.0), s_env - l_env)
+        accum = accum + transient
+        cooldown = jnp.maximum(cooldown - 1, 0)
+        onset = (transient > jnp.float32(0.045)) & (cooldown <= 0)
+        count = count + onset.astype(jnp.int32)
+        cooldown = jnp.where(onset, cooldown_samples, cooldown)
+        lo = lo + low_coeff * (mono - lo)
+        hi = hi + high_coeff * (mono - hi)
+        low_v = lo
+        high_v = mono - hi
+        lo_acc = lo_acc + low_v * low_v
+        hi_acc = hi_acc + high_v * high_v
+        return (s_env, l_env, cooldown, accum, count, lo, hi, lo_acc, hi_acc)
+
+    return body
+
+
+def stream_stats(block: jnp.ndarray, channels: int) -> Dict[str, jnp.ndarray]:
+    """Stateless per-block reductions of one audio stream [..., C, N]
+    (cpp:76-96,102-109). Shared by the pre-lane of stage i+1 and the
+    post-lane of stage i, which analyze the same stream."""
+    left = block[..., 0, :]
+    right = block[..., 1, :] if channels > 1 else left
+    mono = jnp.float32(0.5) * (left + right)
+    inv_n = jnp.float32(1.0 / block.shape[-1])
+    side = jnp.float32(0.5) * (left - right)
+    return {
+        "rms_accum": jnp.sum(mono * mono, axis=-1),
+        "peak": jnp.max(jnp.abs(mono), axis=-1),
+        "side_accum": jnp.sum(side * side, axis=-1),
+        "corr_accum": jnp.sum(left * right, axis=-1),
+        "l_energy": jnp.sqrt(jnp.sum(left * left, axis=-1) * inv_n),
+        "r_energy": jnp.sqrt(jnp.sum(right * right, axis=-1) * inv_n),
+    }
+
+
+def lane_finalize(c, state: Dict[str, jnp.ndarray], stats: Dict[str, jnp.ndarray],
+                  n: int, sr: float):
+    """(final lane carry, prior state, stream stats) -> (state', metrics)."""
+    s_env, l_env, cooldown, accum, count, lo, hi, lo_acc, hi_acc = c
+    return _finalize_metrics(
+        state, s_env, l_env, lo, hi, cooldown, accum, count,
+        stats["rms_accum"], stats["peak"], lo_acc, hi_acc,
+        stats["side_accum"], stats["rms_accum"], stats["corr_accum"],
+        stats["l_energy"], stats["r_energy"], n, sr)
+
+
 def analyze(state: Dict[str, jnp.ndarray], block: jnp.ndarray, sr: float
             ) -> Tuple[Dict[str, jnp.ndarray], JuicinessMetrics]:
     """Analyze one block [C, N] (or [..., C, N] under vmap); returns (state', metrics).

@@ -54,30 +54,15 @@ def init(sr: float, channels: int):
     }
 
 
-def process(params, carry, block, sr: float):
-    block = jnp.asarray(block, jnp.float32)
-    channels = block.shape[-2]
-    n = block.shape[-1]
-
-    match_amt = jnp.asarray(params["match"], jnp.float32)
-    learn = jnp.asarray(params["learn"], jnp.float32) > jnp.float32(0.5)
-    tail_amt = jnp.asarray(params["tail"], jnp.float32)
-    decay = jnp.asarray(params["decay"], jnp.float32)
-    mix = jnp.asarray(params["mix"], jnp.float32)
-    out_gain = db_to_gain(params["output"])
-
+def make_analysis_step(sr):
+    """Per-sample mono 3-band analysis body (cpp:62-76). Carry =
+    (low_state, high_state, low_e, mid_e, high_e) with the exact serial
+    op/summation order of the C++ loop. Shared by :func:`process` and the
+    fused chain executor (runtime/chain_fused.py)."""
     low_coeff = onepole_coeff(220.0, sr)
     high_coeff = onepole_coeff(2400.0, sr)
-    eps = jnp.float32(1.0e-6)
 
-    # --- block-level mono 3-band analysis (cpp:62-76), persistent filters.
-    # One fused scan: filter states AND energy accumulators in the carry —
-    # the exact serial op order and summation order of the C++ loop.
-    ch1 = min(1, channels - 1)
-    mono = jnp.float32(0.5) * (block[..., 0, :] + block[..., ch1, :])
-    batch_shape = mono.shape[:-1]
-
-    def analysis_step(c, m):
+    def step(c, m):
         lo, hi, le, me, he = c
         lo = lo + low_coeff * (m - lo)
         hi = hi + high_coeff * (m - hi)
@@ -87,18 +72,16 @@ def process(params, carry, block, sr: float):
         return (lo, hi, le + low_v * low_v, me + mid_v * mid_v,
                 he + high_v * high_v), None
 
-    z = jnp.zeros(batch_shape, jnp.float32)
-    (a_low, a_high, low_e, mid_e, high_e), _ = jax.lax.scan(
-        analysis_step,
-        (jnp.broadcast_to(carry["analysis_low"], batch_shape),
-         jnp.broadcast_to(carry["analysis_high"], batch_shape), z, z, z),
-        jnp.moveaxis(mono, -1, 0), unroll=8)
-    inv_n = jnp.float32(1.0 / max(1, n))
-    low_e = low_e * inv_n
-    mid_e = mid_e * inv_n
-    high_e = high_e * inv_n
+    return step
 
-    # --- learn-mode EMA targets (cpp:78-84) ---
+
+def block_gains(carry, low_e, mid_e, high_e, params):
+    """Block-level learn EMA + context fit + per-band compensation gains
+    (cpp:78-96). Returns (targets', context_fit, (low/mid/high comp), fb)."""
+    match_amt = jnp.asarray(params["match"], jnp.float32)
+    learn = jnp.asarray(params["learn"], jnp.float32) > jnp.float32(0.5)
+    decay = jnp.asarray(params["decay"], jnp.float32)
+    eps = jnp.float32(1.0e-6)
     a = jnp.float32(0.02)
     t_low = jnp.where(learn, carry["target_low"] + (low_e - carry["target_low"]) * a,
                       carry["target_low"])
@@ -107,23 +90,75 @@ def process(params, carry, block, sr: float):
     t_high = jnp.where(learn, carry["target_high"] + (high_e - carry["target_high"]) * a,
                        carry["target_high"])
 
-    # --- context-fit readout (cpp:86-92) ---
     low_err = jnp.abs(gain_to_db((low_e + eps) / (t_low + eps)))
     mid_err = jnp.abs(gain_to_db((mid_e + eps) / (t_mid + eps)))
     high_err = jnp.abs(gain_to_db((high_e + eps) / (t_high + eps)))
     deviation = (low_err + mid_err + high_err) / jnp.float32(3.0)
     context_fit = jlimit(0.0, 100.0, jnp.float32(100.0) - deviation * jnp.float32(10.0))
 
-    # --- per-band compensation gains (cpp:94-96) ---
     expo = jnp.float32(0.25) * match_amt
     low_comp = jlimit(0.5, 1.8, jnp.power((t_low + eps) / (low_e + eps), expo))
     mid_comp = jlimit(0.5, 1.8, jnp.power((t_mid + eps) / (mid_e + eps), expo))
     high_comp = jlimit(0.5, 1.8, jnp.power((t_high + eps) / (high_e + eps), expo))
     fb = jlimit(0.0, 0.93, decay)
+    return (t_low, t_mid, t_high), context_fit, (low_comp, mid_comp, high_comp), fb
 
-    # --- per-channel render (cpp:99-118): split filters reset to zero each
-    # block (quirk, cpp:103-104); tails persist per channel. One fused scan
-    # with the exact serial op order ---
+
+def make_render_step(sr, comps, fb, tail_amt, bcast):
+    """Per-sample per-channel render body (cpp:99-118). Carry =
+    (lp_a, lp_b, tail); the split filters start from zero each block (quirk,
+    cpp:103-104). `bcast` adapts block-level arrays to the carry rank."""
+    low_coeff = onepole_coeff(220.0, sr)
+    high_coeff = onepole_coeff(2400.0, sr)
+    low_comp, mid_comp, high_comp = comps
+
+    def step(c, d):
+        lp_a, lp_b, tail = c
+        lp_a = lp_a + low_coeff * (d - lp_a)
+        lp_b = lp_b + high_coeff * (d - lp_b)
+        low_v = lp_a * bcast(low_comp)
+        high_v = (d - lp_b) * bcast(high_comp)
+        mid_v = (d - lp_a - (d - lp_b)) * bcast(mid_comp)
+        matched = low_v + mid_v + high_v
+        tail = matched + tail * bcast(fb)
+        wet = matched + bcast(tail_amt) * jnp.float32(0.35) * tail
+        return (lp_a, lp_b, tail), wet
+
+    return step
+
+
+def process(params, carry, block, sr: float):
+    block = jnp.asarray(block, jnp.float32)
+    channels = block.shape[-2]
+    n = block.shape[-1]
+
+    tail_amt = jnp.asarray(params["tail"], jnp.float32)
+    mix = jnp.asarray(params["mix"], jnp.float32)
+    out_gain = db_to_gain(params["output"])
+
+    # --- block-level mono 3-band analysis (cpp:62-76), persistent filters.
+    # One fused scan: filter states AND energy accumulators in the carry —
+    # the exact serial op order and summation order of the C++ loop.
+    ch1 = min(1, channels - 1)
+    mono = jnp.float32(0.5) * (block[..., 0, :] + block[..., ch1, :])
+    batch_shape = mono.shape[:-1]
+
+    z = jnp.zeros(batch_shape, jnp.float32)
+    (a_low, a_high, low_e, mid_e, high_e), _ = jax.lax.scan(
+        make_analysis_step(sr),
+        (jnp.broadcast_to(carry["analysis_low"], batch_shape),
+         jnp.broadcast_to(carry["analysis_high"], batch_shape), z, z, z),
+        jnp.moveaxis(mono, -1, 0), unroll=8)
+    inv_n = jnp.float32(1.0 / max(1, n))
+    low_e = low_e * inv_n
+    mid_e = mid_e * inv_n
+    high_e = high_e * inv_n
+
+    # --- learn EMA + context fit + compensation gains (cpp:78-96) ---
+    (t_low, t_mid, t_high), context_fit, comps, fb = block_gains(
+        carry, low_e, mid_e, high_e, params)
+
+    # --- per-channel render (cpp:99-118) ---
     def bb(v):
         v = jnp.asarray(v, jnp.float32)
         return v if v.ndim == 0 else v[..., None]
@@ -131,18 +166,7 @@ def process(params, carry, block, sr: float):
     dry = block
     render_batch = block.shape[:-1]          # [..., C]
     zero_c = jnp.zeros(render_batch, jnp.float32)
-
-    def render_step(c, d):
-        lp_a, lp_b, tail = c
-        lp_a = lp_a + low_coeff * (d - lp_a)
-        lp_b = lp_b + high_coeff * (d - lp_b)
-        low_v = lp_a * bb(low_comp)
-        high_v = (d - lp_b) * bb(high_comp)
-        mid_v = (d - lp_a - (d - lp_b)) * bb(mid_comp)
-        matched = low_v + mid_v + high_v
-        tail = matched + tail * bb(fb)
-        wet = matched + bb(tail_amt) * jnp.float32(0.35) * tail
-        return (lp_a, lp_b, tail), wet
+    render_step = make_render_step(sr, comps, fb, tail_amt, bb)
 
     (_, _, tail_f), wet_t = jax.lax.scan(
         render_step,

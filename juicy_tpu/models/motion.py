@@ -70,8 +70,12 @@ def init(sr: float, channels: int):
     }
 
 
-def _detection_pass(mono_abs, carry, micro_var, sr):
-    """Pass 1 (cpp:75-95): sequential onset detection + RNG target rolls."""
+def make_p1_step(micro_var, sr):
+    """Pass-1 per-sample body (cpp:75-95): envelope-gated onset detection +
+    conditional LCG target rolls. Shared by :func:`process` and the fused
+    chain executor (runtime/chain_fused.py).
+
+    Carry: (env, cooldown, repetition, rng, vt, vtr, vtl)."""
     env_coeff = tau_coeff(0.015, sr)
     cooldown_samples = jnp.int32(int(sr * 0.04))
     one = jnp.float32(1.0)
@@ -99,18 +103,123 @@ def _detection_pass(mono_abs, carry, micro_var, sr):
         repetition = repetition * jnp.float32(0.997)
         return (env, cooldown, repetition, rng, vt, vtr, vtl), None
 
-    batch = mono_abs.shape[:-1]
-    init_c = (jnp.broadcast_to(carry["env"], batch),
-              jnp.broadcast_to(carry["onset_cooldown"], batch),
-              jnp.broadcast_to(carry["repetition"], batch),
-              jnp.broadcast_to(carry["rng"], batch),
-              jnp.broadcast_to(carry["variation_tone_target"], batch),
-              jnp.broadcast_to(carry["variation_transient_target"], batch),
-              jnp.broadcast_to(carry["variation_tail_target"], batch))
+    return step
+
+
+def p1_init(carry, batch):
+    """Pass-1 scan carry from the state dict."""
+    return (jnp.broadcast_to(carry["env"], batch),
+            jnp.broadcast_to(carry["onset_cooldown"], batch),
+            jnp.broadcast_to(carry["repetition"], batch),
+            jnp.broadcast_to(carry["rng"], batch),
+            jnp.broadcast_to(carry["variation_tone_target"], batch),
+            jnp.broadcast_to(carry["variation_transient_target"], batch),
+            jnp.broadcast_to(carry["variation_tail_target"], batch))
+
+
+def block_scales(repetition, repeat_ctrl):
+    """Block-level repetition scale + recovery boost (cpp:97-99)."""
+    one = jnp.float32(1.0)
+    rep_norm = jlimit(0.0, 1.0, repetition * jnp.float32(0.08))
+    repetition_scale = one - repeat_ctrl * rep_norm * jnp.float32(0.65)
+    recovery = one + repeat_ctrl * (one - rep_norm) * jnp.float32(0.25)
+    return repetition_scale, recovery
+
+
+def _detection_pass(mono_abs, carry, micro_var, sr):
+    """Pass 1 (cpp:75-95): sequential onset detection + RNG target rolls."""
+    step = make_p1_step(micro_var, sr)
+    init_c = p1_init(carry, mono_abs.shape[:-1])
     final, _ = jax.lax.scan(step, init_c, jnp.moveaxis(mono_abs, -1, 0), unroll=4)
     return final
 
 
+
+
+
+def make_p2_step(consts, targets, scales, ch_offset, sr):
+    """Pass-2 per-sample body for one channel (cpp:101-142), threading the
+    SHARED slew/LFO/budget state (cpp:108-115 quirk). Shared by
+    :func:`process` and the fused chain executor (runtime/chain_fused.py).
+
+    Carry: (vt, vtr, vtl, phase, lp, tail, prev, budget_env)."""
+    from juicy_tpu.ops.precise import onepole_coeff32, sin32
+
+    var_slew = consts["var_slew"]
+    motion_inc = consts["motion_inc"]
+    lfo_depth = consts["lfo_depth"]
+    depth = consts["depth"]
+    micro_var = consts["micro_var"]
+    tail_feedback = consts["tail_feedback"]
+    mix = consts["mix"]
+    out_gain = consts["out_gain"]
+    budget_coeff = consts["budget_coeff"]
+    budget_target = consts["budget_target"]
+    vt_t, vtr_t, vtl_t = targets
+    repetition_scale, recovery = scales
+    one = jnp.float32(1.0)
+
+    def step(c, d):
+        vt, vtr, vtl, phase, lp, tail, prev, be = c
+        vt = var_slew * vt + (one - var_slew) * vt_t
+        vtr = var_slew * vtr + (one - var_slew) * vtr_t
+        vtl = var_slew * vtl + (one - var_slew) * vtl_t
+        phase = phase + motion_inc
+        phase = jnp.where(phase > TWO_PI, phase - FOUR_PI, phase)
+
+        lfo = sin32(phase + ch_offset)
+        cutoff = jlimit(120.0, 4200.0,
+                        jnp.float32(900.0)
+                        + vt * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * depth)
+                        + lfo * lfo_depth)
+        lp_c = onepole_coeff32(cutoff, sr)
+        lp = lp + lp_c * (d - lp)
+        hp = d - lp
+        transient = d - prev
+        prev = d
+
+        transient_boost = one + vtr * jnp.float32(1.2) * (jnp.float32(0.6) + jnp.float32(0.7) * depth) \
+            + jnp.float32(0.35) * micro_var * lfo * (jnp.float32(0.6) + jnp.float32(0.8) * depth)
+        tone_shift = lp * (one + vt * jnp.float32(0.65) * (jnp.float32(0.55) + jnp.float32(0.7) * depth)) \
+            + hp * transient_boost \
+            + transient * (jnp.float32(0.12) + jnp.float32(0.30) * micro_var) * (jnp.float32(0.5) + jnp.float32(0.8) * depth)
+        tail = tone_shift + tail * jlimit(0.0, 0.93, tail_feedback + vtl * jnp.float32(0.06))
+
+        wet = tone_shift * repetition_scale * recovery \
+            + (jnp.float32(0.26) + jnp.float32(0.24) * micro_var) \
+            * (jnp.float32(0.6) + jnp.float32(0.7) * depth) * tail
+        be = budget_coeff * be + (one - budget_coeff) * jnp.abs(wet)
+        limiter_gain = jnp.where(be > budget_target,
+                                 budget_target / (be + jnp.float32(1.0e-5)),
+                                 one)
+        wet = wet * limiter_gain
+
+        wet_boost = one + jnp.float32(0.9) * micro_var * (jnp.float32(0.55) + jnp.float32(0.9) * depth)
+        y = (d + mix * (wet * wet_boost - d)) * out_gain
+        return (vt, vtr, vtl, phase, lp, tail, prev, be), y
+
+    return step
+
+
+def p2_consts(params, sr):
+    """Pass-2 scalar constants from params (cpp:64-73)."""
+    micro_var = jnp.asarray(params["microvar"], jnp.float32)
+    motion_depth = jnp.asarray(params["motiondepth"], jnp.float32)
+    repeat_ctrl = jnp.asarray(params["repeatctrl"], jnp.float32)
+    contrast_budget = jnp.asarray(params["budget"], jnp.float32)
+    depth = jlimit(0.0, 2.0, motion_depth)
+    motion_rate = jmap(micro_var, 0.25, 2.0) * jmap5(depth, 0.0, 2.0, 0.75, 1.6)
+    return dict(
+        var_slew=tau_coeff(0.020, sr),
+        motion_inc=TWO_PI * motion_rate / jnp.float32(sr),
+        lfo_depth=(jnp.float32(250.0) + jnp.float32(550.0) * micro_var)
+        * (jnp.float32(0.5) + jnp.float32(0.9) * depth),
+        depth=depth, micro_var=micro_var,
+        tail_feedback=jmap(repeat_ctrl, 0.15, 0.88),
+        mix=jnp.asarray(params["mix"], jnp.float32),
+        out_gain=db_to_gain(params["output"]),
+        budget_coeff=tau_coeff(0.080, sr),
+        budget_target=jmap(contrast_budget, 0.8, 0.25))
 
 
 def process(params, carry, block, sr: float):
@@ -139,9 +248,7 @@ def process(params, carry, block, sr: float):
     env, cooldown, repetition, rng, vt_t, vtr_t, vtl_t = _detection_pass(
         jnp.abs(mono), carry, micro_var, sr)
 
-    rep_norm = jlimit(0.0, 1.0, repetition * jnp.float32(0.08))
-    repetition_scale = one - repeat_ctrl * rep_norm * jnp.float32(0.65)
-    recovery = one + repeat_ctrl * (one - rep_norm) * jnp.float32(0.25)
+    repetition_scale, recovery = block_scales(repetition, repeat_ctrl)
 
     # --- pass 2 (cpp:101-142): per-channel fused scans, threading the SHARED
     # slew/LFO/budget state ch0 → ch1 exactly like the C++ channel loop.
@@ -155,46 +262,12 @@ def process(params, carry, block, sr: float):
     lfo_depth = (jnp.float32(250.0) + jnp.float32(550.0) * micro_var) * \
         (jnp.float32(0.5) + jnp.float32(0.9) * depth)
 
+    consts = p2_consts(params, sr)
+
     def make_step(ch_offset):
-        def step(c, d):
-            vt, vtr, vtl, phase, lp, tail, prev, be = c
-            vt = var_slew * vt + (one - var_slew) * vt_t
-            vtr = var_slew * vtr + (one - var_slew) * vtr_t
-            vtl = var_slew * vtl + (one - var_slew) * vtl_t
-            phase = phase + motion_inc
-            phase = jnp.where(phase > TWO_PI, phase - FOUR_PI, phase)
+        return make_p2_step(consts, (vt_t, vtr_t, vtl_t),
+                            (repetition_scale, recovery), ch_offset, sr)
 
-            lfo = sin32(phase + ch_offset)
-            cutoff = jlimit(120.0, 4200.0,
-                            jnp.float32(900.0)
-                            + vt * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * depth)
-                            + lfo * lfo_depth)
-            lp_c = onepole_coeff32(cutoff, sr)
-            lp = lp + lp_c * (d - lp)
-            hp = d - lp
-            transient = d - prev
-            prev = d
-
-            transient_boost = one + vtr * jnp.float32(1.2) * (jnp.float32(0.6) + jnp.float32(0.7) * depth) \
-                + jnp.float32(0.35) * micro_var * lfo * (jnp.float32(0.6) + jnp.float32(0.8) * depth)
-            tone_shift = lp * (one + vt * jnp.float32(0.65) * (jnp.float32(0.55) + jnp.float32(0.7) * depth)) \
-                + hp * transient_boost \
-                + transient * (jnp.float32(0.12) + jnp.float32(0.30) * micro_var) * (jnp.float32(0.5) + jnp.float32(0.8) * depth)
-            tail = tone_shift + tail * jlimit(0.0, 0.93, tail_feedback + vtl * jnp.float32(0.06))
-
-            wet = tone_shift * repetition_scale * recovery \
-                + (jnp.float32(0.26) + jnp.float32(0.24) * micro_var) \
-                * (jnp.float32(0.6) + jnp.float32(0.7) * depth) * tail
-            be = budget_coeff * be + (one - budget_coeff) * jnp.abs(wet)
-            limiter_gain = jnp.where(be > budget_target,
-                                     budget_target / (be + jnp.float32(1.0e-5)),
-                                     one)
-            wet = wet * limiter_gain
-
-            wet_boost = one + jnp.float32(0.9) * micro_var * (jnp.float32(0.55) + jnp.float32(0.9) * depth)
-            y = (d + mix * (wet * wet_boost - d)) * out_gain
-            return (vt, vtr, vtl, phase, lp, tail, prev, be), y
-        return step
 
     vt = jnp.broadcast_to(carry["variation_tone"], batch)
     vtr = jnp.broadcast_to(carry["variation_transient"], batch)

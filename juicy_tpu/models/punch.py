@@ -49,41 +49,19 @@ def init(sr: float, channels: int):
     return {"fast_env": z, "slow_env": z}
 
 
-def process(params, carry, block, sr: float):
-    dry = jnp.asarray(block, jnp.float32)
-    adry = jnp.abs(dry)
+def punch_shape(dry, f_env, s_env, params, b=lambda v: v):
+    """Stateless per-sample shaping after the envelopes (cpp:99-110).
 
+    Polymorphic over array rank: process() applies it to whole blocks, the
+    fused chain executor (runtime/chain_fused.py) to single samples. `b`
+    broadcasts batched params against the audio rank."""
+    one = jnp.float32(1.0)
     punch_amt = jnp.asarray(params["punch"], jnp.float32)
     sustain_amt = jnp.asarray(params["sustain"], jnp.float32)
     slam_amt = jnp.asarray(params["slam"], jnp.float32)
     clip_amt = jnp.asarray(params["clip"], jnp.float32)
     mix = jnp.asarray(params["mix"], jnp.float32)
     out_gain = db_to_gain(params["output"])
-
-    def b(v):
-        v = jnp.asarray(v, jnp.float32)
-        return v if v.ndim == 0 else v[..., None, None]
-
-    # Linear envelope followers (cpp:96-97): env' = (1−c)|x| + c·env.
-    # One fused sequential scan (exact reference op order); at corpus batch
-    # sizes a batched sequential scan outruns the O(N·logN) associative form
-    # and is bit-exact vs the serial C++.
-    fast_c = tau_coeff(0.0015, sr)
-    slow_c = tau_coeff(0.110, sr)
-    one = jnp.float32(1.0)
-
-    def env_step(c, a):
-        f, s = c
-        f = (one - fast_c) * a + fast_c * f
-        s = (one - slow_c) * a + slow_c * s
-        return (f, s), (f, s)
-
-    (_, _), (f_env_t, s_env_t) = jax.lax.scan(
-        env_step, (jnp.broadcast_to(carry["fast_env"], adry.shape[:-1]),
-                   jnp.broadcast_to(carry["slow_env"], adry.shape[:-1])),
-        jnp.moveaxis(adry, -1, 0), unroll=8)
-    f_env = jnp.moveaxis(f_env_t, 0, -1)
-    s_env = jnp.moveaxis(s_env_t, 0, -1)
 
     transient = jnp.maximum(jnp.float32(0.0), f_env - s_env)
     curve_exp = jmap(slam_amt, 0.95, 0.55)
@@ -100,7 +78,43 @@ def process(params, carry, block, sr: float):
     hard = jlimit(-0.95, 0.95, wet * (one + b(clip_amt) * jnp.float32(2.0)))
     wet = soft + b(clip_amt) * (hard - soft)
 
-    out = (dry + b(mix) * (wet - dry)) * b(out_gain)
+    return (dry + b(mix) * (wet - dry)) * b(out_gain)
+
+
+def env_coeffs(sr):
+    """Fast/slow follower coefficients (cpp:83-84)."""
+    return tau_coeff(0.0015, sr), tau_coeff(0.110, sr)
+
+
+def process(params, carry, block, sr: float):
+    dry = jnp.asarray(block, jnp.float32)
+    adry = jnp.abs(dry)
+
+    def b(v):
+        v = jnp.asarray(v, jnp.float32)
+        return v if v.ndim == 0 else v[..., None, None]
+
+    # Linear envelope followers (cpp:96-97): env' = (1−c)|x| + c·env.
+    # One fused sequential scan (exact reference op order); at corpus batch
+    # sizes a batched sequential scan outruns the O(N·logN) associative form
+    # and is bit-exact vs the serial C++.
+    fast_c, slow_c = env_coeffs(sr)
+    one = jnp.float32(1.0)
+
+    def env_step(c, a):
+        f, s = c
+        f = (one - fast_c) * a + fast_c * f
+        s = (one - slow_c) * a + slow_c * s
+        return (f, s), (f, s)
+
+    (_, _), (f_env_t, s_env_t) = jax.lax.scan(
+        env_step, (jnp.broadcast_to(carry["fast_env"], adry.shape[:-1]),
+                   jnp.broadcast_to(carry["slow_env"], adry.shape[:-1])),
+        jnp.moveaxis(adry, -1, 0), unroll=8)
+    f_env = jnp.moveaxis(f_env_t, 0, -1)
+    s_env = jnp.moveaxis(s_env_t, 0, -1)
+
+    out = punch_shape(dry, f_env, s_env, params, b)
     return out, {"fast_env": f_env[..., -1], "slow_env": s_env[..., -1]}
 
 

@@ -44,22 +44,37 @@ def init(sr: float, channels: int):
     return {"tone_state": jnp.zeros((channels,), jnp.float32)}
 
 
+def sat_consts(params, sr):
+    """Per-block constants (cpp:74-81)."""
+    return dict(
+        in_gain=db_to_gain(params["drive"]),
+        out_gain=db_to_gain(params["output"]),
+        asym=jnp.asarray(params["asymmetry"], jnp.float32),
+        mix=jnp.asarray(params["mix"], jnp.float32),
+        tone_coeff=onepole_coeff(jmap(params["tone"], 2500.0, 16000.0), sr))
+
+
+def sat_pre(dry, k, b=lambda v: v):
+    """Stateless drive→skew→tanh front (cpp:89-92); rank-polymorphic."""
+    driven = dry * b(k["in_gain"])
+    skewed = driven + b(k["asym"]) * driven * driven
+    return jnp.tanh(skewed)
+
+
+def sat_post(dry, toned, k, b=lambda v: v):
+    """Output gain + dry/wet after the tone filter (cpp:94-96)."""
+    wet = toned * b(k["out_gain"])
+    return dry + b(k["mix"]) * (wet - dry)
+
+
 def process(params, carry, block, sr: float):
     """block [..., C, N] → (out, carry'). Fully parallel over time."""
     dry = jnp.asarray(block, jnp.float32)
-    in_gain = db_to_gain(params["drive"])
-    out_gain = db_to_gain(params["output"])
-    asym = jnp.asarray(params["asymmetry"], jnp.float32)
-    mix = jnp.asarray(params["mix"], jnp.float32)
-    cutoff = jmap(params["tone"], 2500.0, 16000.0)
-    tone_coeff = onepole_coeff(cutoff, sr)
-
-    driven = dry * _bcast(in_gain, dry)
-    skewed = driven + _bcast(asym, dry) * driven * driven
-    soft = jnp.tanh(skewed)
-    toned = onepole_lowpass(soft, _bcast(tone_coeff, dry), carry["tone_state"])
-    wet = toned * _bcast(out_gain, dry)
-    out = dry + _bcast(mix, dry) * (wet - dry)
+    k = sat_consts(params, sr)
+    b = lambda v: _bcast(v, dry)  # noqa: E731
+    soft = sat_pre(dry, k, b)
+    toned = onepole_lowpass(soft, _bcast(k["tone_coeff"], dry), carry["tone_state"])
+    out = sat_post(dry, toned, k, b)
     return out, {"tone_state": toned[..., -1]}
 
 

@@ -265,66 +265,32 @@ def _material_substep(mode: int, p, sr: float, L: int):
                        "flesh_pos_b": m[2], "flesh_vel_b": m[3]})
 
 
-def static_material(params) -> int:
-    """Material index if statically known, else None."""
-    m = params.get("material", 0)
-    if isinstance(m, (int, float)):
-        return int(m)
-    try:
-        return int(jax.device_get(m))  # concrete array
-    except Exception:
-        return None
+def make_sample_step(consts, mat_step):
+    """The complete C++ inner loop (cpp:107-277) as one per-sample body.
 
-
-def process(params, carry, block, sr: float):
-    """block [C, N] → (out, carry'). `material` must be static (a Python or
-    concrete scalar); heterogeneous-material batches should be grouped by
-    material by the caller (the runtime does this)."""
-    block = jnp.asarray(block, jnp.float32)
-    if block.ndim != 2:
-        raise ValueError("texture.process operates on [C, N] blocks; use vmap "
-                         "for batching (material state is channel-structured)")
-    channels, n = block.shape
-    mode = static_material(params)
-    if mode is None:
-        raise NotImplementedError(
-            "traced `material` is not supported; pass a static material index")
-    mode = max(0, min(4, mode))
-
-    tail_shape = jnp.asarray(params["tailshape"], jnp.float32)
-    damping = jnp.asarray(params["damping"], jnp.float32)
-    weight = jnp.asarray(params["weight"], jnp.float32)
-    texture = jnp.asarray(params["texture"], jnp.float32)
-    mix = jnp.asarray(params["mix"], jnp.float32)
-    out_gain = db_to_gain(params["output"])
-
-    damping_amt = jlimit(0.0, 1.0, damping)
-    damping_mul = jmap(damping_amt, 1.35, 0.40)           # cpp:65
-    decay = jmap(tail_shape, 0.30, 0.985) * jmap(damping_amt, 1.0, 0.80)  # cpp:66
-    low_boost = jnp.float32(1.0) + weight                  # cpp:67
-    split_low = onepole_coeff(140.0, sr)
-    split_high = onepole_coeff(2600.0, sr)
-    env_atk = tau_coeff(0.0025, sr)
-    env_rel = tau_coeff(0.080, sr)
-    wet_atk = tau_coeff(0.005, sr)
-    wet_rel = tau_coeff(0.090, sr)
-    dc_r = jnp.float32(0.995)
-    auto_gain_base = jmap(texture, 0.78, 0.54)             # cpp:75
+    `c` = (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat);
+    `xs` = (dry sample, white-noise draw). Shared verbatim by the standalone
+    scan in :func:`process` and by the fused chain executor
+    (runtime/chain_fused.py) so both paths carry identical float32 op order.
+    """
+    tail_shape = consts["tail_shape"]
+    texture = consts["texture"]
+    mix = consts["mix"]
+    out_gain = consts["out_gain"]
+    decay = consts["decay"]
+    low_boost = consts["low_boost"]
+    split_low = consts["split_low"]
+    split_high = consts["split_high"]
+    env_atk = consts["env_atk"]
+    env_rel = consts["env_rel"]
+    wet_atk = consts["wet_atk"]
+    wet_rel = consts["wet_rel"]
+    dc_r = consts["dc_r"]
+    auto_gain_base = consts["auto_gain_base"]
+    in_trim = consts["in_trim"]
+    mat_trim = consts["mat_trim"]
     one = jnp.float32(1.0)
-    in_trim = jnp.float32(MATERIAL_INPUT_TRIM[mode])
-    mat_trim = jnp.float32(MATERIAL_TRIM[mode])
 
-    # --- shared-LCG roughness noise (cpp:239-243), closed-form parallel ---
-    states = lcg_sequence(carry["rng"], channels * n).reshape(channels, n)
-    white = white_from_bits(states)
-    new_rng = lcg_advance(carry["rng"], channels * n)
-
-    extract, mat_step, pack = _material_substep(
-        mode, dict(texture=texture, tailshape=tail_shape,
-                   damping_amt=damping_amt, damping_mul=damping_mul,
-                   weight=weight), sr, carry["waveguide"].shape[-1])
-
-    # --- ONE fused scan: the complete C++ inner loop per sample ---
     def step(c, xs):
         env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat = c
         d, w = xs                     # [C] dry sample, white draw
@@ -390,22 +356,111 @@ def process(params, carry, block, sr: float):
         return (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg,
                 mat), out
 
-    init_c = (carry["env"], carry["lp"], carry["hp"], carry["noise_hp"],
-              carry["tail"], carry["wet_env"], carry["dc_in"],
-              carry["dc_out"], carry["protect_gain"], extract(carry))
-    xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))
-    unroll = 4 if mode in (0, 4) else 1   # waveguide/modal carry is large
-    (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat), out_t = \
-        jax.lax.scan(step, init_c, xs, unroll=unroll)
-    out = jnp.moveaxis(out_t, 0, -1)
+    return step
 
+
+def extract_scan_carry(carry, extract):
+    """Scan-carry tuple from the state dict (shared by process/chain_fused)."""
+    return (carry["env"], carry["lp"], carry["hp"], carry["noise_hp"],
+            carry["tail"], carry["wet_env"], carry["dc_in"],
+            carry["dc_out"], carry["protect_gain"], extract(carry))
+
+
+def pack_scan_carry(c, carry, pack):
+    """State dict updates from the final scan carry."""
+    env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat = c
     new_carry = dict(carry)
     new_carry.update(pack(mat))
     new_carry.update({
         "env": env, "lp": lp, "hp": hp, "noise_hp": noise_hp, "tail": tail,
         "wet_env": wet_env, "dc_in": dc_in, "dc_out": dc_out,
-        "protect_gain": pg, "rng": new_rng,
+        "protect_gain": pg,
     })
+    return new_carry
+
+
+def static_material(params) -> int:
+    """Material index if statically known, else None."""
+    m = params.get("material", 0)
+    if isinstance(m, (int, float)):
+        return int(m)
+    try:
+        return int(jax.device_get(m))  # concrete array
+    except Exception:
+        return None
+
+
+def block_consts(params, sr: float, mode: int, L: int):
+    """All per-block constants + the material substep for a static `mode`.
+
+    Returns (consts, extract, mat_step, pack). Shared verbatim by
+    :func:`process` and the fused chain executor (runtime/chain_fused.py)."""
+    tail_shape = jnp.asarray(params["tailshape"], jnp.float32)
+    damping = jnp.asarray(params["damping"], jnp.float32)
+    weight = jnp.asarray(params["weight"], jnp.float32)
+    texture = jnp.asarray(params["texture"], jnp.float32)
+    mix = jnp.asarray(params["mix"], jnp.float32)
+    out_gain = db_to_gain(params["output"])
+
+    damping_amt = jlimit(0.0, 1.0, damping)
+    damping_mul = jmap(damping_amt, 1.35, 0.40)           # cpp:65
+    decay = jmap(tail_shape, 0.30, 0.985) * jmap(damping_amt, 1.0, 0.80)  # cpp:66
+
+    consts = dict(
+        tail_shape=tail_shape, texture=texture, mix=mix, out_gain=out_gain,
+        decay=decay, low_boost=jnp.float32(1.0) + weight,  # cpp:67
+        split_low=onepole_coeff(140.0, sr),
+        split_high=onepole_coeff(2600.0, sr),
+        env_atk=tau_coeff(0.0025, sr), env_rel=tau_coeff(0.080, sr),
+        wet_atk=tau_coeff(0.005, sr), wet_rel=tau_coeff(0.090, sr),
+        dc_r=jnp.float32(0.995),
+        auto_gain_base=jmap(texture, 0.78, 0.54),          # cpp:75
+        in_trim=jnp.float32(MATERIAL_INPUT_TRIM[mode]),
+        mat_trim=jnp.float32(MATERIAL_TRIM[mode]))
+
+    extract, mat_step, pack = _material_substep(
+        mode, dict(texture=texture, tailshape=tail_shape,
+                   damping_amt=damping_amt, damping_mul=damping_mul,
+                   weight=weight), sr, L)
+    return consts, extract, mat_step, pack
+
+
+def block_noise(rng, channels: int, n: int):
+    """The block's LCG roughness draws (cpp:239-243), closed-form parallel.
+
+    Returns (white [C, n], rng')."""
+    states = lcg_sequence(rng, channels * n).reshape(channels, n)
+    return white_from_bits(states), lcg_advance(rng, channels * n)
+
+
+def process(params, carry, block, sr: float):
+    """block [C, N] → (out, carry'). `material` must be static (a Python or
+    concrete scalar); heterogeneous-material batches should be grouped by
+    material by the caller (the runtime does this)."""
+    block = jnp.asarray(block, jnp.float32)
+    if block.ndim != 2:
+        raise ValueError("texture.process operates on [C, N] blocks; use vmap "
+                         "for batching (material state is channel-structured)")
+    channels, n = block.shape
+    mode = static_material(params)
+    if mode is None:
+        raise NotImplementedError(
+            "traced `material` is not supported; pass a static material index")
+    mode = max(0, min(4, mode))
+
+    white, new_rng = block_noise(carry["rng"], channels, n)
+    consts, extract, mat_step, pack = block_consts(
+        params, sr, mode, carry["waveguide"].shape[-1])
+    step = make_sample_step(consts, mat_step)
+
+    init_c = extract_scan_carry(carry, extract)
+    xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))
+    unroll = 4 if mode in (0, 4) else 1   # waveguide/modal carry is large
+    c_final, out_t = jax.lax.scan(step, init_c, xs, unroll=unroll)
+    out = jnp.moveaxis(out_t, 0, -1)
+
+    new_carry = pack_scan_carry(c_final, carry, pack)
+    new_carry["rng"] = new_rng
     return out, new_carry
 
 

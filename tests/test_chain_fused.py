@@ -1,0 +1,146 @@
+"""Fused chain executor vs the stage-major runner and the compiled C++.
+
+The fused executor (runtime/chain_fused.py) reschedules the chain's ~21
+sequential sample loops per block into ~6 shared scans; these tests pin its
+semantics to (a) Chain.batched_run and (b) the compiled reference C++
+processors stacked in series (the ground truth for "plugins on one track").
+"""
+
+import shutil
+import subprocess
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from juicy_tpu.runtime.plugin import Chain
+from juicy_tpu.runtime.chain_fused import fused_chain_step, fused_chain_stream
+from tests.conftest import make_clip, residual_dbfs
+from tests import cpp_ref
+
+SR = 48000.0
+BLOCK = 512
+STAGES = [("punch", "Solar Snap"), ("saturator", "Amber Heat"),
+          ("texture", None), ("motion", None), ("width", "Prism Arc"),
+          ("cohere", None), ("infer", "Reference Lens")]
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+
+
+def _clips(rng, b=3, nb=4):
+    return np.stack([make_clip(rng, 2, BLOCK * nb) for _ in range(b)]).astype(
+        np.float32)
+
+
+def test_fused_matches_stage_major(chain, rng):
+    clips = _clips(rng)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(clips.shape[0]))
+    out_ref, st_ref, m_ref = chain.batched_run(states, clips)
+    out_f, st_f, m_f = fused_chain_stream(chain, states, jnp.asarray(clips))
+    res = residual_dbfs(np.asarray(out_f), np.asarray(out_ref))
+    assert res <= -95.0, f"fused vs stage-major audio residual {res:.1f} dBFS"
+    for i in range(len(STAGES)):
+        for key in ("score", "pre_score", "punch", "width", "mono_safety",
+                    "fatigue_risk", "repetition_density"):
+            a = np.asarray(m_ref[i][key])
+            b = np.asarray(m_f[i][key])
+            scale = 100.0 if "score" in key else 1.0
+            assert np.max(np.abs(a - b)) <= 2e-3 * scale, (i, key)
+    # carried states agree (streaming resumes identically)
+    for i in range(len(STAGES)):
+        for leaf_r, leaf_f in zip(jax.tree_util.tree_leaves(st_ref[i]["dsp"]),
+                                  jax.tree_util.tree_leaves(st_f[i]["dsp"])):
+            np.testing.assert_allclose(np.asarray(leaf_r, np.float64),
+                                       np.asarray(leaf_f, np.float64),
+                                       atol=5e-5)
+
+
+def test_fused_single_clip_unbatched(chain, rng):
+    """Works without a batch axis too ([C, T])."""
+    clip = make_clip(rng, 2, BLOCK * 3)
+    states = chain.init_state()
+    out_ref, _, _ = chain.run(states, clip)
+    out_f, _, _ = fused_chain_stream(chain, states, jnp.asarray(clip))
+    assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -95.0
+
+
+def test_fused_metrics_modes(chain, rng):
+    clips = _clips(rng, b=2, nb=3)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(2))
+    out_b, st_b, m_b = fused_chain_stream(chain, states, jnp.asarray(clips),
+                                          metrics="blocks")
+    out_f, st_f, m_f = fused_chain_stream(chain, states, jnp.asarray(clips),
+                                          metrics="final")
+    out_n, st_n, m_n = fused_chain_stream(chain, states, jnp.asarray(clips),
+                                          metrics="none")
+    # block 0 compiles outside the scan in "final" mode -> ulp-level
+    # fusion-context differences only
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=2e-5)
+    assert m_n is None
+    # "final" metrics == last block of "blocks" metrics
+    for i in range(len(STAGES)):
+        np.testing.assert_allclose(np.asarray(m_f[i]["score"]),
+                                   np.asarray(m_b[i]["score"])[-1], rtol=1e-6)
+    # "none" audio matches (analyzers don't touch audio)
+    assert residual_dbfs(np.asarray(out_n), np.asarray(out_b)) <= -95.0
+    # analyzer state advanced identically in blocks/final
+    for i in range(len(STAGES)):
+        for k in ("short_env", "repetition_ema", "fatigue_ema"):
+            np.testing.assert_allclose(
+                np.asarray(st_b[i]["analyzer"][k]),
+                np.asarray(st_f[i]["analyzer"][k]), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_block_step_equals_stream(chain, rng):
+    """Block-by-block fused_chain_step == one fused_chain_stream call."""
+    clip = make_clip(rng, 2, BLOCK * 3)
+    states = chain.init_state()
+    out_s, st_s, _ = fused_chain_stream(chain, states, jnp.asarray(clip))
+    st = states
+    outs = []
+    for k in range(3):
+        blk = jnp.asarray(clip[:, k * BLOCK:(k + 1) * BLOCK])
+        out, st, _ = fused_chain_step(chain, st, blk)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=-1)
+    # eager per-block vs in-scan compile contexts differ at ulp level only
+    np.testing.assert_allclose(got, np.asarray(out_s), atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not cpp_ref.reference_available() or shutil.which("make") is None,
+    reason="reference sources or native toolchain unavailable")
+def test_fused_chain_vs_cpp_oracle(chain, rng):
+    """The gold test: the fused chain vs the 7 compiled reference plugins
+    stacked in series on one track, streamed block by block."""
+    try:
+        cpp_ref.load("off")
+    except (subprocess.CalledProcessError, OSError) as e:
+        pytest.skip(f"oracle build failed: {e}")
+    clip = make_clip(rng, 2, BLOCK * 6)
+
+    procs = []
+    for name, preset in STAGES:
+        p = cpp_ref.CppProcessor(name, "off", SR, BLOCK, 2)
+        if preset is not None:
+            names = [p.program_name(i) for i in range(p.num_programs())]
+            p.set_program(names.index(preset))
+        procs.append(p)
+    ref = clip.astype(np.float32)
+    for p in procs:
+        ref = p.run(ref, BLOCK)
+    cpp_scores = [p.get_param("juiciness") for p in procs]
+    for p in procs:
+        p.close()
+
+    states = chain.init_state()
+    out, _, m = fused_chain_stream(chain, states, jnp.asarray(clip))
+    res = residual_dbfs(np.asarray(out), ref)
+    assert res <= -80.0, f"fused chain vs compiled C++ chain: {res:.1f} dBFS"
+    for i, cs in enumerate(cpp_scores):
+        ours = float(np.asarray(m[i]["score"])[-1])
+        assert abs(ours - cs) <= 0.2, (STAGES[i][0], ours, cs)
