@@ -219,8 +219,10 @@ def _material_substep(mode: int, p, sr: float, L: int):
             else:
                 new_wave = damp * (wg_mix[0] * delayed + wg_mix[1] * prev_wave) \
                     + exc_in_scale * exc
-            ch_idx = jnp.arange(wg.shape[0])
-            wg = wg.at[ch_idx, widx].set(new_wave)
+            # rank-agnostic per-row scatter (wg may be [C, L] standalone or
+            # [B, C, L] inside the fused chain executor)
+            wg = jnp.put_along_axis(wg, widx[..., None], new_wave[..., None],
+                                    axis=-1, inplace=False)
             widx = jnp.mod(widx + 1, L)
 
             y, y1_old = _modal_bank_step(y1, y2, exc, a1, a2, gains)

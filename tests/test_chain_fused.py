@@ -59,6 +59,19 @@ def test_fused_matches_stage_major(chain, rng):
                                        atol=5e-5)
 
 
+@pytest.mark.parametrize("material", [1.0, 2.0, 3.0])
+def test_fused_waveguide_materials_batched(material, rng):
+    """Regression: wood/plastic waveguide scatter must be rank-agnostic
+    (fused chain runs texture on batched [B, C, L] state without vmap)."""
+    ch = Chain([("punch", "Solar Snap"), ("texture", dict(material=material)),
+                ("cohere", None)], sr=SR, channels=2, block_size=BLOCK)
+    clips = _clips(rng, b=2, nb=3)
+    states = jax.vmap(lambda _: ch.init_state())(jnp.arange(2))
+    out_ref, _, _ = ch.batched_run(states, clips)
+    out_f, _, _ = fused_chain_stream(ch, states, jnp.asarray(clips))
+    assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -95.0
+
+
 def test_fused_single_clip_unbatched(chain, rng):
     """Works without a batch axis too ([C, T])."""
     clip = make_clip(rng, 2, BLOCK * 3)
