@@ -383,3 +383,525 @@ def punch_stage_step(params, state, block, sr: float, unroll: int = 8,
     fast_f, slow_f = tiles_to_state(dsp_f, bsz, c, 2)
     return out_bcn, {"analyzer": post_state,
                      "dsp": {"fast_env": fast_f, "slow_env": slow_f}}, m
+
+
+
+# ---------------------------------------------------------------------------
+# Texture full-stage kernel (the chain's heaviest stage).
+#
+# Waveguide materials (wood=2, plastic=3) keep the delay line in VMEM as a
+# sliding window: the last H samples of history (H = ceil(max delay)+2,
+# static per material) DMA in from an un-staged (pl.ANY) ref, new samples
+# append inside the window scratch, and the last H samples DMA back out as
+# the next block's history. The interpolated read reproduces the scan path's
+# EXACT float32 fraction math by carrying the ring write index and
+# evaluating pos = f32(widx_t) − delay in ring coordinates
+# (JuicyTexture/PluginProcessor.cpp:91-105).
+#
+# The shared-LCG roughness noise (cpp:239-243) is generated in-kernel from
+# per-sample jump coefficients (SMEM tables) — bit-identical to the serial
+# C++ draws (ch0 takes draws 1..N, ch1 takes N+1..2N).
+# ---------------------------------------------------------------------------
+
+_TEX_COMMON = ("tail_shape", "texture", "mix", "out_gain", "decay",
+               "low_boost", "split_low", "split_high", "env_atk", "env_rel",
+               "wet_atk", "wet_rel", "dc_r", "auto_gain_base", "in_trim",
+               "mat_trim")
+_TEX_NMODES = 4
+TWO_PI32 = jnp.float32(2.0 * 3.14159265358979323846)
+
+
+def _tex_hist_len(mode: int, sr: float) -> int:
+    """Static history depth >= the max possible waveguide delay + 2."""
+    if mode == 2:
+        return int(sr / 92.0) + 4      # cavity_hz >= 92 (cpp:174)
+    return int(sr / 210.0) + 4         # tube_hz >= 210 (cpp:189)
+
+
+def _mat_state_keys(mode: int):
+    if mode == 0:
+        return ("spring_pos", "spring_vel")
+    if mode == 4:
+        return ("flesh_pos_a", "flesh_vel_a", "flesh_pos_b", "flesh_vel_b")
+    return None   # modal materials handled separately
+
+
+def _texture_kernel(mode, n, c, unroll, H, L, sr,
+                    params_ref, lcg_a_ref, lcg_b_ref,
+                    x_ref, rng_ref, dsp_ref, lane_ref, mat_ref, hist_ref,
+                    out_ref, dsp_out_ref, mat_out_ref, newhist_ref,
+                    pre_fin_ref, pre_acc_ref, post_fin_ref, post_acc_ref,
+                    window_ref, dma_sem):
+    csub = _csub(c)
+    wave = mode in (2, 3)
+    P = [0]
+
+    def nextp(k=1):
+        vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+        P[0] += k
+        return vals if k > 1 else vals[0]
+
+    lane_k = tuple(nextp(7))
+    kc = {key: nextp() for key in _TEX_COMMON}
+    one = jnp.float32(1.0)
+    nm = _TEX_NMODES
+
+    if mode == 0:
+        omega, kspring = nextp(2)
+    elif mode == 1:
+        freqs = nextp(nm)          # f0 * ratios
+        rs = nextp(nm)             # pole radii (constant: t60s static)
+        a2s = nextp(nm)
+        gains = nextp(nm)
+        hz_cap = nextp()
+        sr_f = nextp()
+    elif wave:
+        a1s = nextp(nm)
+        a2s = nextp(nm)
+        gains = nextp(nm)
+        delay = nextp()
+        damp = nextp()
+        wg_m0, wg_m1 = nextp(2)
+        exc_s0, exc_s1 = nextp(2)
+        exc_b0, exc_b1 = nextp(2)  # wood: (0.09, 0.04); plastic: (0.14, 0)
+        om0, om1, om2, om3, om4 = nextp(5)
+        widx0_f = nextp()
+    else:
+        k_a, k_b, c_a, c_b, k_couple = nextp(5)
+
+    g = pl.program_id(0)
+    if wave:
+        cp = pltpu.make_async_copy(hist_ref.at[g],
+                                   window_ref.at[pl.ds(0, H * csub), :],
+                                   dma_sem)
+        cp.start()
+        cp.wait()
+        widx0 = widx0_f.astype(jnp.int32)
+
+    (env0, lp0, hp0, nhp0, tail0, wet0, dcin0, dcout0, pg0) = [
+        dsp_ref[i * csub:(i + 1) * csub, :] for i in range(9)]
+    lane = _lane_from_ref(lane_ref)
+    nmat = mat_ref.shape[0] // csub
+    mat = [mat_ref[i * csub:(i + 1) * csub, :] for i in range(nmat)]
+    rng_rows = rng_ref[...]            # [MSUB, 128] uint32 per-clip states
+
+    def white_at(t):
+        """Roughness draws for sample t, both channels ([CSUB, 128])."""
+        halves = []
+        for ch in range(c):
+            a = lcg_a_ref[0, ch * n + t]
+            b = lcg_b_ref[0, ch * n + t]
+            s = rng_rows * a + b
+            bits = (s >> jnp.uint32(8)) & jnp.uint32(0xFFFF)
+            # Mosaic lacks a direct u32->f32 cast; values fit in i32
+            halves.append(bits.astype(jnp.int32).astype(jnp.float32)
+                          * jnp.float32(1.0 / 32768.0) - one)
+        return jnp.concatenate(halves, axis=0)
+
+    def mat_step(mat, core, impact, body, trail, hp_state, t):
+        if mode == 0:    # gel (cpp:137-151)
+            pos, vel = mat
+            zeta = jnp.float32(0.62) + trail * (jnp.float32(1.45)
+                                                - jnp.float32(0.62))
+            cdamp = jnp.float32(2.0) * zeta * omega
+            force = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
+            acc = kspring * (force - pos) - cdamp * vel
+            vel = vel + acc
+            pos = pos + vel
+            shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
+            shaped = jnp.tanh(shaped * (jnp.float32(0.96)
+                                        + jnp.float32(0.28) * kc["texture"]))
+            return shaped, [pos, vel]
+
+        if mode == 1:    # metal (cpp:152-169): only theta varies per sample
+            from juicy_tpu.ops.precise import cos32
+            y1, y2 = mat[:nm], mat[nm:]
+            exc = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
+            bend = one + jnp.float32(0.09) * impact
+            ys = []
+            for k in range(nm):
+                f = freqs[k] * bend
+                f = jnp.where(f < jnp.float32(20.0), jnp.float32(20.0), f)
+                f = jnp.where(hz_cap < f, hz_cap, f)
+                theta = TWO_PI32 * f / sr_f
+                a1 = jnp.float32(2.0) * rs[k] * cos32(theta)
+                ys.append(exc * gains[k] + a1 * y1[k] + a2s[k] * y2[k])
+            modes_sum = ((ys[0] + ys[1]) + ys[2]) + ys[3]
+            bright = jnp.float32(0.03) * impact * (core - hp_state)
+            shaped = (jnp.float32(0.44) * core
+                      + jnp.float32(0.42) * modes_sum + bright) \
+                * (jnp.float32(0.78) + jnp.float32(0.10) * kc["texture"])
+            return shaped, ys + y1
+
+        if wave:         # wood / plastic (cpp:170-212)
+            y1, y2 = mat[:nm], mat[nm:2 * nm]
+            prev_wave = mat[2 * nm]
+            exc = core * (exc_s0 + exc_s1 * impact)
+            # ring-coordinate fractional read — exact scan-path float math
+            widx_t = widx0 + t
+            widx_t = jnp.where(widx_t >= L, widx_t - L, widx_t)
+            pos = widx_t.astype(jnp.float32) - delay
+            pos = jnp.where(pos < jnp.float32(0.0), pos + jnp.float32(L), pos)
+            i0 = pos.astype(jnp.int32)
+            frac = pos - i0.astype(jnp.float32)
+            tau = i0 - widx0
+            tau = jnp.where(tau > t, tau - L, tau)
+            tau = jnp.where(tau < -H, tau + L, tau)
+            slot = H + tau
+            base = pl.multiple_of(slot * csub, 8)
+            v0 = window_ref[pl.ds(base, csub), :]
+            v1 = window_ref[pl.ds(base + csub, csub), :]
+            delayed = v0 + frac * (v1 - v0)
+            if mode == 2:
+                new_wave = damp * (wg_m0 * delayed + wg_m1 * prev_wave) \
+                    + exc * (exc_b0 + exc_b1 * body)
+            else:
+                new_wave = damp * (wg_m0 * delayed + wg_m1 * prev_wave) \
+                    + exc_b0 * exc
+            wbase = pl.multiple_of((H + t) * csub, 8)
+            window_ref[pl.ds(wbase, csub), :] = new_wave
+
+            ys = []
+            for k in range(nm):
+                ys.append(exc * gains[k] + a1s[k] * y1[k] + a2s[k] * y2[k])
+            modes_sum = ((ys[0] + ys[1]) + ys[2]) + ys[3]
+            shaped = (om0 * core + om1 * delayed + om2 * modes_sum) \
+                * (om3 + om4 * kc["texture"])
+            return shaped, ys + y1 + [delayed]
+
+        # flesh (cpp:214-236)
+        pa, va, pb, vb = mat
+        force = core * (jnp.float32(0.55) + jnp.float32(0.65) * body)
+        acc_a = k_a * (force - pa) - c_a * va - k_couple * (pa - pb)
+        acc_b = k_b * (pa - pb) - c_b * vb
+        va = va + acc_a
+        vb = vb + acc_b
+        pa = pa + va
+        pb = pb + vb
+        tissue = jnp.float32(0.92) * pa + jnp.float32(0.58) * pb
+        nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
+        shaped = jnp.tanh((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
+                          * (jnp.float32(0.98)
+                             + jnp.float32(0.16) * kc["texture"]))
+        return shaped, [pa, va, pb, vb]
+
+    def split(s):
+        l = s[0:MSUB, :]
+        r = s[MSUB:2 * MSUB, :] if c > 1 else l
+        return l, r
+
+    def tex_sample(d, w, st, t):
+        """The full C++ inner loop (cpp:107-277), identical formulas/order to
+        texture.make_sample_step."""
+        (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg, mat) = st
+        driven = d * kc["in_trim"]
+        adry = jnp.abs(d)
+        env_c = jnp.where(adry > env, kc["env_atk"], kc["env_rel"])
+        env = env_c * env + (one - env_c) * adry
+        impact = jnp.clip(jnp.maximum(jnp.float32(0.0), adry - env)
+                          * jnp.float32(10.0), jnp.float32(0.0), one)
+        body = jnp.clip(env * jnp.float32(3.2), jnp.float32(0.0), one)
+        trail = jnp.clip(one - impact, jnp.float32(0.0), one) * kc["tail_shape"]
+
+        lp = lp + kc["split_low"] * (driven - lp)
+        hp = hp + kc["split_high"] * (driven - hp)
+        low = lp * kc["low_boost"]
+        high = driven - hp
+        mid = driven - lp - high
+        core = low + mid + high * (jnp.float32(0.9)
+                                   + kc["texture"] * jnp.float32(1.3))
+
+        shaped, mat = mat_step(mat, core, impact, body, trail, hp, t)
+
+        noise_hp = noise_hp + jnp.float32(0.08) * (w - noise_hp)
+        rough = w - noise_hp
+        shaped = shaped + rough * (jnp.float32(0.004)
+                                   + jnp.float32(0.022) * kc["texture"]) \
+            * (jnp.float32(0.14) + jnp.float32(0.64) * impact)
+
+        dynamics = one + impact * (jnp.float32(0.18)
+                                   + kc["texture"] * jnp.float32(0.12)) \
+            + body * jnp.float32(0.06)
+        shaped = shaped * dynamics * kc["mat_trim"]
+
+        tail_input = jnp.clip(shaped, jnp.float32(-2.0), jnp.float32(2.0)) \
+            * (jnp.float32(0.45) + jnp.float32(0.55) * trail)
+        tail = tail_input + tail * kc["decay"]
+        wet = shaped + tail * (jnp.float32(0.30) + jnp.float32(0.45) * trail)
+
+        wet_abs = jnp.abs(wet)
+        wet_c = jnp.where(wet_abs > wet_env, kc["wet_atk"], kc["wet_rel"])
+        wet_env = wet_c * wet_env + (one - wet_c) * wet_abs
+        auto_comp = kc["auto_gain_base"] / (one + jnp.float32(1.8) * wet_env)
+        wet = wet * jnp.clip(auto_comp, jnp.float32(0.18), one)
+
+        mixed = d + kc["mix"] * (wet - d)
+        pre_dc = mixed * kc["out_gain"]
+
+        dc = pre_dc - dc_in + kc["dc_r"] * dc_out
+        dc_in = pre_dc
+        dc_out = dc
+
+        peak = jnp.abs(dc)
+        over = peak > jnp.float32(0.88)
+        pg = jnp.where(over,
+                       jnp.minimum(pg, (jnp.float32(0.88) / peak)
+                                   * jnp.float32(0.98)),
+                       pg + (one - pg) * jnp.float32(0.0028))
+        o = dc * jnp.clip(pg, jnp.float32(0.2), one)
+        y = jnp.clip(o, jnp.float32(-0.98), jnp.float32(0.98))
+        return y, (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg,
+                   mat)
+
+    def body_fn(tt, carry):
+        st, lane = carry
+        base = pl.multiple_of(tt * unroll * csub, 8)
+        xchunk = x_ref[pl.ds(base, unroll * csub), :]
+        ys = []
+        for u in range(unroll):
+            t = tt * unroll + u
+            d = xchunk[u * csub:(u + 1) * csub, :]
+            w = white_at(t)
+            l, r = split(d)
+            lane = _lane_step(lane, l, r, lane_k)
+            y, st = tex_sample(d, w, st, t)
+            ys.append(y)
+        out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(ys, axis=0)
+        return st, lane
+
+    st0 = (env0, lp0, hp0, nhp0, tail0, wet0, dcin0, dcout0, pg0, mat)
+    st, lane = jax.lax.fori_loop(0, n // unroll, body_fn, (st0, lane))
+    for i, v in enumerate(st[:9]):
+        dsp_out_ref[i * csub:(i + 1) * csub, :] = v
+    for i, v in enumerate(st[9]):
+        mat_out_ref[i * csub:(i + 1) * csub, :] = v
+    _store_lane(lane, pre_fin_ref, pre_acc_ref)
+
+    if wave:
+        cp = pltpu.make_async_copy(
+            window_ref.at[pl.ds(n * csub, H * csub), :], newhist_ref.at[g],
+            dma_sem)
+        cp.start()
+        cp.wait()
+
+    lane2 = _lane_reset(lane)
+
+    def body2(tt, lane2):
+        base = pl.multiple_of(tt * unroll * csub, 8)
+        chunk = out_ref[pl.ds(base, unroll * csub), :]
+        for u in range(unroll):
+            l, r = split(chunk[u * csub:(u + 1) * csub, :])
+            lane2 = _lane_step(lane2, l, r, lane_k)
+        return lane2
+
+    lane2 = jax.lax.fori_loop(0, n // unroll, body2, lane2)
+    _store_lane(lane2, post_fin_ref, post_acc_ref)
+
+
+def _u32_to_tiles(v):
+    """[B] uint32 -> [G, MSUB, 128]."""
+    return v.reshape(-1, MSUB, LANES)
+
+
+def texture_kernel_state(state, sr: float, mode: int):
+    """Standard texture state -> kernel-path state: the waveguide ring
+    becomes a sliding history window of the last H samples (newest-last).
+    Ring entries older than H are unreachable (delay <= H by construction,
+    cpp:174/189), so no audio-relevant information is lost."""
+    if mode not in (2, 3):
+        return state
+    st = dict(state)
+    wg = state["waveguide"]
+    H = _tex_hist_len(mode, sr)
+    widx = jnp.asarray(state["wave_idx"]).reshape(-1)[0]
+    rolled = jnp.roll(wg, H - widx, axis=-1)
+    st["waveguide"] = rolled[..., :H]
+    return st
+
+
+def texture_ring_state(state, sr: float, mode: int, L: int):
+    """Kernel-path state -> standard ring state (unreachable ring entries
+    zeroed — never read since delay <= H)."""
+    if mode not in (2, 3):
+        return state
+    st = dict(state)
+    hist = state["waveguide"]
+    H = hist.shape[-1]
+    widx = jnp.asarray(state["wave_idx"]).reshape(-1)[0]
+    pad = [(0, 0)] * (hist.ndim - 1) + [(0, L - H)]
+    tmp = jnp.pad(hist, pad)
+    st["waveguide"] = jnp.roll(tmp, widx - H, axis=-1)
+    return st
+
+
+def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
+                       interpret: bool = False):
+    """Full texture step (pre-analyze → DSP → post-analyze) as one kernel.
+
+    `block`: [B, C, N]; `state` as from vmap(plugin.init_state) but with the
+    waveguide in kernel (history-window) form — see texture_kernel_state.
+    Returns (out, new_state, metrics).
+    """
+    from juicy_tpu.models import texture as _tex
+    from juicy_tpu.ops.noise import _jump_coefficients, lcg_advance
+    import numpy as np
+
+    block = jnp.asarray(block, jnp.float32)
+    bsz, c, n = block.shape
+    if bsz % TILE:
+        raise ValueError(f"batch {bsz} must be a multiple of {TILE}")
+    csub = _csub(c)
+    mode = _tex.static_material(params)
+    if mode is None:
+        raise NotImplementedError("texture kernel needs a static material")
+    mode = max(0, min(4, mode))
+    wave = mode in (2, 3)
+    L = _tex.waveguide_size(sr)
+    H = _tex_hist_len(mode, sr) if wave else 0
+    nm = _TEX_NMODES
+
+    dsp = state["dsp"]
+    kc, _extract, _mstep, _pack = _tex.block_consts(params, sr, mode, L)
+    mp = dict(texture=kc["texture"], tailshape=kc["tail_shape"],
+              damping_amt=None, damping_mul=None, weight=None)
+    # material_consts needs the damping intermediates; rebuild like
+    # block_consts does (same helpers, same order)
+    from juicy_tpu.utils.convert import jlimit as _jl, jmap as _jm
+    damping_amt = _jl(0.0, 1.0, jnp.asarray(params["damping"], jnp.float32))
+    mp.update(damping_amt=damping_amt,
+              damping_mul=_jm(damping_amt, 1.35, 0.40),
+              weight=jnp.asarray(params["weight"], jnp.float32))
+    mc = _tex.material_consts(mode, mp, sr, L)
+
+    pv = [*_lane_consts(sr)] + [kc[k] for k in _TEX_COMMON]
+    if mode == 0:
+        pv += [mc["omega"], mc["k"]]
+    elif mode == 1:
+        from juicy_tpu.ops.precise import exp32
+        freqs = mc["f0"] * mc["ratios"]
+        t = jnp.maximum(jnp.float32(0.02), mc["t60s"])
+        rs = exp32(jnp.float32(np.log(np.float32(0.001)))
+                   / (t * jnp.float32(sr)))
+        pv += [*freqs, *rs, *(-rs * rs), *mc["gains"],
+               jnp.float32(0.45 * sr), jnp.float32(sr)]
+    elif wave:
+        exc_b = ((jnp.float32(0.09), jnp.float32(0.04)) if mode == 2
+                 else (mc["exc_in_scale"], jnp.float32(0.0)))
+        widx0 = jnp.asarray(dsp["wave_idx"]).reshape(-1)[0]
+        pv += [*mc["a1"], *mc["a2"], *mc["gains"], mc["delay_samp"],
+               mc["damp"], *mc["wg_mix"], *mc["exc_scale"], *exc_b,
+               *mc["out_mix"], widx0.astype(jnp.float32)]
+    else:
+        pv += [mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"], mc["k_couple"]]
+    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+
+    a_np, b_np = _jump_coefficients(c * n)
+    lcg_a = jnp.asarray(a_np)[None]
+    lcg_b = jnp.asarray(b_np)[None]
+
+    x = to_stream(block)
+    rng_t = _u32_to_tiles(jnp.asarray(dsp["rng"], jnp.uint32))
+    dsp_rows = state_to_tiles([dsp[k] for k in
+                               ("env", "lp", "hp", "noise_hp", "tail",
+                                "wet_env", "dc_in", "dc_out", "protect_gain")])
+    lane0 = pack_lane(state["analyzer"], bsz)
+
+    if mode == 0:
+        mat_leaves = [dsp["spring_pos"], dsp["spring_vel"]]
+    elif mode == 1:
+        mat_leaves = [dsp["modal_y1"][..., k] for k in range(nm)] + \
+                     [dsp["modal_y2"][..., k] for k in range(nm)]
+    elif wave:
+        mat_leaves = [dsp["modal_y1"][..., k] for k in range(nm)] + \
+                     [dsp["modal_y2"][..., k] for k in range(nm)] + \
+                     [dsp["prev_wave"]]
+    else:
+        mat_leaves = [dsp["flesh_pos_a"], dsp["flesh_vel_a"],
+                      dsp["flesh_pos_b"], dsp["flesh_vel_b"]]
+    mat0 = state_to_tiles(mat_leaves)
+    nmat = len(mat_leaves)
+
+    grid = bsz // TILE
+    if wave:
+        hist = to_stream(dsp["waveguide"])      # [G, H*CSUB, 128]
+        win_rows = (H + n) * csub
+    else:
+        hist = jnp.zeros((grid, 8, LANES), jnp.float32)
+        win_rows = 8
+
+    kernel = functools.partial(_texture_kernel, mode, n, c, unroll, H, L, sr)
+
+    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, x_ref, rng_ref, dsp_ref,
+                lane_ref, mat_ref, hist_ref, out_ref, dsp_out_ref,
+                mat_out_ref, newhist_ref, pre_fin_ref, pre_acc_ref,
+                post_fin_ref, post_acc_ref, window_ref, dma_sem):
+        kernel(params_ref, lcg_a_ref, lcg_b_ref,
+               x_ref.at[0], rng_ref.at[0], dsp_ref.at[0], lane_ref.at[0],
+               mat_ref.at[0], hist_ref,
+               out_ref.at[0], dsp_out_ref.at[0], mat_out_ref.at[0],
+               newhist_ref,
+               pre_fin_ref.at[0], pre_acc_ref.at[0], post_fin_ref.at[0],
+               post_acc_ref.at[0], window_ref, dma_sem)
+
+    smem = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0),  # noqa: E731
+                                  memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+
+    out, dsp_f, mat_f, newhist, pre_fin, pre_acc, post_fin, post_acc = \
+        pl.pallas_call(
+            wrapped,
+            grid=(grid,),
+            in_specs=[
+                smem(pvec.shape[1]), smem(c * n), smem(c * n),
+                _tilespec(n * csub), _tilespec(MSUB), _tilespec(9 * csub),
+                _tilespec(5 * MSUB), _tilespec(nmat * csub), anyspec,
+            ],
+            out_specs=[
+                _tilespec(n * csub), _tilespec(9 * csub),
+                _tilespec(nmat * csub), anyspec,
+                _tilespec(5 * MSUB), _tilespec(10 * MSUB),
+                _tilespec(5 * MSUB), _tilespec(10 * MSUB),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((grid, n * csub, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 9 * csub, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, nmat * csub, LANES), jnp.float32),
+                jax.ShapeDtypeStruct(hist.shape, jnp.float32),
+                jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((win_rows, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(pvec, lcg_a, lcg_b, x, rng_t, dsp_rows, lane0, mat0, hist)
+
+    out_bcn = from_stream(out, bsz, c)
+    post_state, m, _pre = metrics_from_lanes(pre_fin, pre_acc, post_fin,
+                                             post_acc, state["analyzer"],
+                                             bsz, n, sr)
+    dsp_leaves = tiles_to_state(dsp_f, bsz, c, 9)
+    new_dsp = dict(dsp)
+    for key, v in zip(("env", "lp", "hp", "noise_hp", "tail", "wet_env",
+                       "dc_in", "dc_out", "protect_gain"), dsp_leaves):
+        new_dsp[key] = v
+    mat_out = tiles_to_state(mat_f, bsz, c, nmat)
+    if mode == 0:
+        new_dsp["spring_pos"], new_dsp["spring_vel"] = mat_out
+    elif mode == 1:
+        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
+        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:], axis=-1)
+    elif wave:
+        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
+        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:2 * nm], axis=-1)
+        new_dsp["prev_wave"] = mat_out[2 * nm]
+        new_dsp["waveguide"] = from_stream(newhist, bsz, c)
+        new_dsp["wave_idx"] = jnp.mod(dsp["wave_idx"] + n, L)
+    else:
+        (new_dsp["flesh_pos_a"], new_dsp["flesh_vel_a"],
+         new_dsp["flesh_pos_b"], new_dsp["flesh_vel_b"]) = mat_out
+    new_dsp["rng"] = lcg_advance(dsp["rng"], c * n)
+    return out_bcn, {"analyzer": post_state, "dsp": new_dsp}, m

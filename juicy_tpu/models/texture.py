@@ -112,62 +112,30 @@ def _serial_mode_sum(y):
     return ((y[..., 0] + y[..., 1]) + y[..., 2]) + y[..., 3]
 
 
-def _material_substep(mode: int, p, sr: float, L: int):
-    """Per-sample material update for static `mode` (cpp:135-237).
-
-    Returns (extract, step, pack): extract(carry_dict) -> mat state tuple;
-    step(mat, core, impact, body, trail, hp_state) -> (shaped, mat');
-    pack(mat, carry_dict) -> updated dict entries.
-    """
+def material_consts(mode: int, p, sr: float, L: int):
+    """Numeric constants of the material models (cpp:135-237), exposed so
+    the Pallas stage kernel (kernels/stage_kernels.py) and the scan substep
+    below share one derivation."""
     texture = p["texture"]
     tail_shape = p["tailshape"]
     damping_amt = p["damping_amt"]
     damping_mul = p["damping_mul"]
     weight = p["weight"]
-    one = jnp.float32(1.0)
 
     if mode == 0:   # Gel (cpp:137-151)
         f0 = jnp.float32(42.0) + texture * jnp.float32(88.0)
         omega = jnp.float32(2.0 * PI) * f0 / jnp.float32(sr)
-        k = omega * omega
+        return dict(omega=omega, k=omega * omega)
 
-        def step(mat, core, impact, body, trail, hp_state):
-            pos, vel = mat
-            zeta = jmap(trail, 0.62, 1.45)
-            cdamp = jnp.float32(2.0) * zeta * omega
-            force = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
-            acc = k * (force - pos) - cdamp * vel
-            vel = vel + acc
-            pos = pos + vel
-            shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
-            shaped = jnp.tanh(shaped * (jnp.float32(0.96) + jnp.float32(0.28) * texture))
-            return shaped, (pos, vel)
-
-        return (lambda c: (c["spring_pos"], c["spring_vel"]), step,
-                lambda m: {"spring_pos": m[0], "spring_vel": m[1]})
-
-    if mode == 1:   # Metal (cpp:152-169) — per-sample coefficients via `bend`
+    if mode == 1:   # Metal (cpp:152-169)
         f0 = jnp.float32(320.0) + jnp.float32(140.0) * texture
         metal_damp = jmap(damping_amt, 1.0, 0.55)
         t_scale = jmap(tail_shape, 0.18, 0.72) * damping_mul * metal_damp
-        ratios = jnp.array([1.00, 2.31, 4.18, 6.87], jnp.float32)
-        t60s = jnp.array([0.56, 0.40, 0.26, 0.17], jnp.float32) * t_scale
-        gains = jnp.array([0.34, 0.20, 0.13, 0.09], jnp.float32)
-
-        def step(mat, core, impact, body, trail, hp_state):
-            y1, y2 = mat
-            exc = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
-            bend = one + jnp.float32(0.09) * impact
-            a1, a2 = _modal_coeffs(f0 * ratios * bend[..., None], t60s, sr)
-            y, y1_old = _modal_bank_step(y1, y2, exc, a1, a2, gains)
-            modes = _serial_mode_sum(y)
-            bright = jnp.float32(0.03) * impact * (core - hp_state)
-            shaped = (jnp.float32(0.44) * core + jnp.float32(0.42) * modes + bright) \
-                * (jnp.float32(0.78) + jnp.float32(0.10) * texture)
-            return shaped, (y, y1)
-
-        return (lambda c: (c["modal_y1"], c["modal_y2"]), step,
-                lambda m: {"modal_y1": m[0], "modal_y2": m[1]})
+        return dict(
+            f0=f0,
+            ratios=jnp.array([1.00, 2.31, 4.18, 6.87], jnp.float32),
+            t60s=jnp.array([0.56, 0.40, 0.26, 0.17], jnp.float32) * t_scale,
+            gains=jnp.array([0.34, 0.20, 0.13, 0.09], jnp.float32))
 
     if mode in (2, 3):   # Wood (cpp:170-192) / Plastic (cpp:193-212)
         if mode == 2:
@@ -198,8 +166,79 @@ def _material_substep(mode: int, p, sr: float, L: int):
             out_mix = (jnp.float32(0.52), jnp.float32(0.36), jnp.float32(0.40),
                        jnp.float32(0.80), jnp.float32(0.10))
             exc_in_scale = jnp.float32(0.14)
-
         a1, a2 = _modal_coeffs(freqs, t60s, sr)
+        return dict(delay_samp=delay_samp, damp=damp, wg_mix=wg_mix,
+                    exc_scale=exc_scale, freqs=freqs, t60s=t60s, gains=gains,
+                    out_mix=out_mix, exc_in_scale=exc_in_scale, a1=a1, a2=a2)
+
+    # mode 4: Flesh-like (cpp:214-236)
+    w_a = jnp.float32(2.0 * PI) * (jnp.float32(38.0) + jnp.float32(52.0) * texture) / jnp.float32(sr)
+    w_b = jnp.float32(2.0 * PI) * (jnp.float32(88.0) + jnp.float32(72.0) * texture) / jnp.float32(sr)
+    return dict(
+        w_a=w_a, w_b=w_b, k_a=w_a * w_a, k_b=w_b * w_b,
+        c_a=jnp.float32(2.0) * jmap(tail_shape, 0.56, 1.18) * w_a,
+        c_b=jnp.float32(2.0) * jmap(tail_shape, 0.70, 1.34) * w_b,
+        k_couple=jnp.float32(0.14) + jnp.float32(0.24) * texture)
+
+
+def _material_substep(mode: int, p, sr: float, L: int):
+    """Per-sample material update for static `mode` (cpp:135-237).
+
+    Returns (extract, step, pack): extract(carry_dict) -> mat state tuple;
+    step(mat, core, impact, body, trail, hp_state) -> (shaped, mat');
+    pack(mat, carry_dict) -> updated dict entries.
+    """
+    texture = p["texture"]
+    tail_shape = p["tailshape"]
+    damping_amt = p["damping_amt"]
+    damping_mul = p["damping_mul"]
+    weight = p["weight"]
+    one = jnp.float32(1.0)
+
+    mc = material_consts(mode, p, sr, L)
+
+    if mode == 0:   # Gel (cpp:137-151)
+        omega, k = mc["omega"], mc["k"]
+
+        def step(mat, core, impact, body, trail, hp_state):
+            pos, vel = mat
+            zeta = jmap(trail, 0.62, 1.45)
+            cdamp = jnp.float32(2.0) * zeta * omega
+            force = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
+            acc = k * (force - pos) - cdamp * vel
+            vel = vel + acc
+            pos = pos + vel
+            shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
+            shaped = jnp.tanh(shaped * (jnp.float32(0.96) + jnp.float32(0.28) * texture))
+            return shaped, (pos, vel)
+
+        return (lambda c: (c["spring_pos"], c["spring_vel"]), step,
+                lambda m: {"spring_pos": m[0], "spring_vel": m[1]})
+
+    if mode == 1:   # Metal (cpp:152-169) — per-sample coefficients via `bend`
+        f0, ratios, t60s, gains = mc["f0"], mc["ratios"], mc["t60s"], mc["gains"]
+
+        def step(mat, core, impact, body, trail, hp_state):
+            y1, y2 = mat
+            exc = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
+            bend = one + jnp.float32(0.09) * impact
+            a1, a2 = _modal_coeffs(f0 * ratios * bend[..., None], t60s, sr)
+            y, y1_old = _modal_bank_step(y1, y2, exc, a1, a2, gains)
+            modes = _serial_mode_sum(y)
+            bright = jnp.float32(0.03) * impact * (core - hp_state)
+            shaped = (jnp.float32(0.44) * core + jnp.float32(0.42) * modes + bright) \
+                * (jnp.float32(0.78) + jnp.float32(0.10) * texture)
+            return shaped, (y, y1)
+
+        return (lambda c: (c["modal_y1"], c["modal_y2"]), step,
+                lambda m: {"modal_y1": m[0], "modal_y2": m[1]})
+
+    if mode in (2, 3):   # Wood (cpp:170-192) / Plastic (cpp:193-212)
+        delay_samp, damp = mc["delay_samp"], mc["damp"]
+        wg_mix, exc_scale = mc["wg_mix"], mc["exc_scale"]
+        gains, out_mix = mc["gains"], mc["out_mix"]
+        exc_in_scale = mc["exc_in_scale"]
+        a1, a2 = mc["a1"], mc["a2"]
 
         def step(mat, core, impact, body, trail, hp_state):
             y1, y2, wg, widx, prev_wave = mat
@@ -238,13 +277,8 @@ def _material_substep(mode: int, p, sr: float, L: int):
                            "prev_wave": m[4]})
 
     # mode 4: Flesh-like (cpp:214-236)
-    w_a = jnp.float32(2.0 * PI) * (jnp.float32(38.0) + jnp.float32(52.0) * texture) / jnp.float32(sr)
-    w_b = jnp.float32(2.0 * PI) * (jnp.float32(88.0) + jnp.float32(72.0) * texture) / jnp.float32(sr)
-    k_a = w_a * w_a
-    k_b = w_b * w_b
-    c_a = jnp.float32(2.0) * jmap(tail_shape, 0.56, 1.18) * w_a
-    c_b = jnp.float32(2.0) * jmap(tail_shape, 0.70, 1.34) * w_b
-    k_couple = jnp.float32(0.14) + jnp.float32(0.24) * texture
+    k_a, k_b, c_a, c_b = mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"]
+    k_couple = mc["k_couple"]
 
     def step(mat, core, impact, body, trail, hp_state):
         pa, va, pb, vb = mat

@@ -69,7 +69,48 @@ class Plugin:
         return self._split_static(self.defn.default_params())[0]
 
     def preset(self, preset) -> Dict[str, jnp.ndarray]:
-        return self._split_static(self.defn.preset_params(preset))[0]
+        params = self._split_static(self.defn.preset_params(preset))[0]
+        # track the current program like setCurrentProgram does
+        # (JuicyPunch/PluginProcessor.cpp:157-177)
+        if self.defn.presets:
+            if isinstance(preset, str):
+                self._current_program = self.defn.preset_names().index(preset)
+            else:
+                self._current_program = max(
+                    0, min(len(self.defn.presets) - 1, int(preset)))
+        return params
+
+    # -- program API (JuicyPunch/PluginProcessor.cpp:147-187) --------------
+
+    @property
+    def num_programs(self) -> int:
+        """getNumPrograms: preset count, min 1 (single-program plugins like
+        Texture report 1, PluginProcessor.h:28-32)."""
+        return max(1, len(self.defn.presets))
+
+    @property
+    def current_program(self) -> int:
+        """getCurrentProgram: index last applied via preset()/set_program."""
+        return getattr(self, "_current_program", 0)
+
+    def set_program(self, index: int) -> Dict[str, jnp.ndarray]:
+        """setCurrentProgram: clamps the index, returns the preset params."""
+        return self.preset(int(index))
+
+    def program_name(self, index: int) -> str:
+        """getProgramName with the reference's index clamping (cpp:179-183)."""
+        names = getattr(self, "_program_names", None) or \
+            list(self.defn.preset_names()) or [self.defn.title]
+        return names[max(0, min(len(names) - 1, int(index)))]
+
+    def change_program_name(self, index: int, name: str) -> None:
+        """changeProgramName: a no-op in the reference (cpp:185-188); here it
+        renames the in-memory program table (persisted via checkpoint meta)."""
+        names = list(getattr(self, "_program_names", None)
+                     or self.defn.preset_names() or [self.defn.title])
+        if 0 <= int(index) < len(names):
+            names[int(index)] = str(name)
+            self._program_names = names
 
     def _split_static(self, params):
         """Pull static_params out as concrete python values."""

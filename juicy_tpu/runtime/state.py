@@ -80,3 +80,32 @@ def load_state(path: str, params_like: Any, state_like: Any
 
     meta = {k.decode(): v.decode() for k, v in blob[b"meta"].items()}
     return restore(b"params", params_like), restore(b"state", state_like), meta
+
+
+def save_plugin_state(path: str, plugin, params: Any, state: Any,
+                      meta: Dict[str, Any] = None):
+    """Checkpoint with the plugin's program index + names in the meta block
+    (the reference's state chunk tracks the current program implicitly via
+    its APVTS values; here it is explicit, JuicyPunch/PluginProcessor.cpp:
+    147-187)."""
+    m = dict(meta or {})
+    m.setdefault("processor", plugin.defn.name)
+    m.setdefault("current_program", plugin.current_program)
+    m.setdefault("program_names", "\x1f".join(
+        plugin.program_name(i) for i in range(plugin.num_programs)))
+    save_state(path, params, state, m)
+
+
+def load_plugin_state(path: str, plugin, params_like: Any, state_like: Any):
+    """Restore a save_plugin_state checkpoint, re-applying the program index
+    and any renamed programs to the plugin instance."""
+    params, state, meta = load_state(path, params_like, state_like)
+    if meta.get("processor", plugin.defn.name) != plugin.defn.name:
+        raise ValueError(
+            f"checkpoint is for {meta['processor']!r}, not {plugin.defn.name!r}")
+    if "current_program" in meta:
+        plugin._current_program = int(meta["current_program"])
+    names = meta.get("program_names", "")
+    if names:
+        plugin._program_names = names.split("\x1f")
+    return params, state, meta

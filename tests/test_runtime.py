@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -241,3 +243,44 @@ def test_wav_roundtrip(tmp_path, rng):
     back16, sr16 = read_wav(path)
     assert sr16 == 44100
     assert residual_dbfs(back16, clip) < -80.0
+
+
+def test_program_api():
+    """getNumPrograms/getCurrentProgram/setCurrentProgram/get+changeProgramName
+    analogs (JuicyPunch/PluginProcessor.cpp:147-187)."""
+    from juicy_tpu.runtime.plugin import Plugin
+    plug = Plugin("punch")
+    assert plug.num_programs == 5
+    assert plug.current_program == 0
+    assert plug.program_name(0) == "Solar Snap"
+    assert plug.program_name(99) == "Apocalypse Tap"   # reference clamping
+    assert plug.program_name(-3) == "Solar Snap"
+    p = plug.set_program(2)
+    assert plug.current_program == 2
+    assert float(p["punch"]) == pytest.approx(1.1)
+    plug.set_program(99)
+    assert plug.current_program == 4
+    plug.change_program_name(2, "My Slam")
+    assert plug.program_name(2) == "My Slam"
+    # single-program plugins report one program named after the plugin
+    tex = Plugin("texture")
+    assert tex.num_programs == 1
+    assert tex.program_name(0) == "Juicy Texture"
+
+
+def test_program_in_checkpoint(tmp_path):
+    from juicy_tpu.runtime.plugin import Plugin
+    from juicy_tpu.runtime.state import load_plugin_state, save_plugin_state
+    plug = Plugin("saturator")
+    params = plug.set_program(3)
+    plug.change_program_name(3, "Custom Grain")
+    state = plug.init_state()
+    path = str(tmp_path / "ck.msgpack")
+    save_plugin_state(path, plug, params, state)
+
+    plug2 = Plugin("saturator")
+    p2, s2, meta = load_plugin_state(path, plug2, plug.default_params(),
+                                     plug2.init_state())
+    assert plug2.current_program == 3
+    assert plug2.program_name(3) == "Custom Grain"
+    assert float(p2["drive"]) == pytest.approx(18.0)
