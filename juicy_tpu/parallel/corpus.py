@@ -45,17 +45,28 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
     sharding = batch_sharding(mesh, clips.ndim)
     clips = jax.device_put(clips, sharding)
 
-    def one_clip(clip):
-        state = plugin.init_state()
-        out, state, metrics = plugin.run(params, state, clip,
-                                         automation=automation)
-        # final-block metrics per clip
-        last = {k: v[-1] for k, v in metrics.items()}
-        return out, last
+    if automation is not None:
+        # automation curves apply per clip; keep the per-clip nesting
+        def one_clip(clip):
+            state = plugin.init_state()
+            out, state, metrics = plugin.run(params, state, clip,
+                                             automation=automation)
+            return out, {k: v[-1] for k, v in metrics.items()}
 
+        @jax.jit
+        def batched(cs):
+            out, last = jax.vmap(one_clip)(cs)
+            return out, last, corpus_metrics(last)
+        return batched(clips)
+
+    # fast path: batch-major streaming (the scans see the whole batch per
+    # sample step instead of nesting per clip — ~3x faster, BASELINE.md)
     @jax.jit
     def batched(cs):
-        out, last = jax.vmap(one_clip)(cs)
+        states = jax.vmap(lambda _: plugin.init_state())(
+            jnp.arange(cs.shape[0]))
+        out, _states, metrics = plugin.batched_run(params, states, cs)
+        last = {k: v[-1] for k, v in metrics.items()}
         return out, last, corpus_metrics(last)
 
     return batched(clips)
@@ -87,12 +98,12 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
         scores = np.asarray(saved["scores"]).copy()
     start = int(cursor["done"])
 
-    def one_clip(clip):
-        state = plugin.init_state()
-        _out, _state, metrics = plugin.run(params, state, clip)
+    @jax.jit
+    def scorer(chunk):
+        states = jax.vmap(lambda _: plugin.init_state())(
+            jnp.arange(chunk.shape[0]))
+        _out, _states, metrics = plugin.batched_run(params, states, chunk)
         return metrics["score"][-1]
-
-    scorer = jax.jit(jax.vmap(one_clip))
     done = start
     steps_since_save = 0
     while done < b:
@@ -111,3 +122,31 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
                        meta={"total": b})
             steps_since_save = 0
     return scores
+
+
+def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
+                     metrics: str = "final"):
+    """Full-chain corpus scoring on the fused block-major executor
+    (runtime/chain_fused.py) with mesh batch sharding.
+
+    Returns (out [B, C, T], per-stage final metrics list, corpus aggregates
+    of the last stage's metrics).
+    """
+    from juicy_tpu.runtime.chain_fused import fused_chain_stream
+
+    if mesh is None:
+        mesh = make_mesh()
+    clips = jnp.asarray(clips, jnp.float32)
+    sharding = batch_sharding(mesh, clips.ndim)
+    clips = jax.device_put(clips, sharding)
+
+    @jax.jit
+    def batched(cs):
+        states = jax.vmap(lambda _: chain.init_state())(
+            jnp.arange(cs.shape[0]))
+        out, _st, ms = fused_chain_stream(chain, states, cs, metrics=metrics)
+        return out, ms
+
+    out, ms = batched(clips)
+    agg = corpus_metrics(ms[-1]) if ms is not None else None
+    return out, ms, agg

@@ -9,7 +9,7 @@ from juicy_tpu.ops.scan_utils import linear_scan
 from juicy_tpu.parallel.mesh import make_mesh, shard_clips, batch_sharding
 from juicy_tpu.parallel.timeshard import sequence_parallel_linear_scan
 from juicy_tpu.runtime.plugin import Plugin
-from tests.conftest import make_clip
+from tests.conftest import make_clip, residual_dbfs
 
 import pytest
 
@@ -118,3 +118,22 @@ def test_entry_compiles():
     fn, args = mod.entry()
     out, states, metrics = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_run_corpus_chain_fused():
+    """run_corpus_chain (fused executor + mesh sharding) matches the
+    stage-major chain and aggregates the last stage's metrics."""
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+    chain = Chain([("punch", "Solar Snap"), ("saturator", "Amber Heat"),
+                   ("infer", None)], sr=48000.0, channels=2, block_size=512)
+    rng = np.random.default_rng(11)
+    clips = np.stack([make_clip(rng, 2, 512 * 3) for _ in range(8)]).astype(
+        np.float32)
+    out, ms, agg = run_corpus_chain(chain, clips)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(8))
+    out_ref, _, m_ref = chain.batched_run(states, clips)
+    assert residual_dbfs(np.asarray(out), np.asarray(out_ref)) <= -95.0
+    np.testing.assert_allclose(np.asarray(ms[-1]["score"]),
+                               np.asarray(m_ref[-1]["score"])[-1], atol=2e-3)
+    assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
