@@ -75,7 +75,16 @@ def bench_config(stages, batch, fused=False, iters=3):
     chain = Chain(stages, sr=SR, channels=CHANNELS, block_size=BLOCK)
     clips = jnp.asarray(make_batch(batch, CHANNELS, T))
 
-    if fused:
+    if fused == "chain_fused":
+        from juicy_tpu.runtime.chain_fused import fused_chain_stream
+
+        @jax.jit
+        def run_batch(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, st, _m = fused_chain_stream(chain, states, cs, unroll=8)
+            return jnp.sum(out[..., -1]), out.shape
+    elif fused:
         from juicy_tpu.runtime.fast import fused_chain_run
 
         @jax.jit
@@ -93,17 +102,18 @@ def bench_config(stages, batch, fused=False, iters=3):
             # tiny reduction so nothing is dead-code eliminated
             return jnp.sum(out[..., -1]), out.shape
 
-    # warmup / compile
+    # warmup / compile. NOTE: block_until_ready is unreliable over the axon
+    # tunnel (returns early); force a device->host transfer instead.
     t_compile = time.perf_counter()
     s, _ = run_batch(clips)
-    s.block_until_ready()
+    np.asarray(s)
     compile_s = time.perf_counter() - t_compile
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         s, _ = run_batch(clips)
-        s.block_until_ready()
+        np.asarray(s)
         times.append(time.perf_counter() - t0)
     wall = min(times)
     audio_sec = batch * T / SR
@@ -130,12 +140,12 @@ def bench_realtime_latency(iters=50):
     block = jnp.asarray(make_batch(1, CHANNELS, BLOCK)[0])
     step = chain.jit_step
     out, states, _ = step(chain.params, states, block)
-    jax.block_until_ready(out)
+    np.asarray(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out, states, _ = step(chain.params, states, block)
-        jax.block_until_ready(out)
+        np.asarray(out[0, -1])
         times.append(time.perf_counter() - t0)
     times.sort()
     deadline = BLOCK / SR
@@ -145,6 +155,63 @@ def bench_realtime_latency(iters=50):
         "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 3),
         "realtime_capable": bool(times[int(len(times) * 0.95)] < deadline),
     }
+
+
+def bench_realtime_streams(stream_counts=(2048, 4096, 8192, 16384),
+                           steps=30):
+    """Live-serving capacity: K concurrent realtime streams batched per
+    dispatch through the full fused chain (the HostBridge batching topology,
+    runtime/host_bridge.py). A stream delivers one [2, 512] block every
+    10.67 ms; K streams are sustained when one batched chain step (all K
+    blocks) completes within that deadline.
+
+    Two numbers per K:
+      * sustained_ms — steady-state per-step wall with the dispatch pipeline
+        full (what a co-located host sees; states thread step-to-step so the
+        device executes serially);
+      * sync_p95_ms — synchronous round-trip incl. host->device->host
+        transfer each step (tunnel-dominated in this environment).
+    """
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.chain_fused import fused_chain_step
+
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    deadline_ms = 1e3 * BLOCK / SR
+    out = {"deadline_ms": round(deadline_ms, 3), "per_k": {}}
+    sustained_max = 0
+    for k in stream_counts:
+        states = jax.vmap(lambda _: chain.init_state())(jnp.arange(k))
+
+        @jax.jit
+        def step_k(sts, seed):
+            blk = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (k, CHANNELS, BLOCK), jnp.float32) * 0.2
+            o, sts, m = fused_chain_step(chain, sts, blk, unroll=8)
+            return sts, o[:2, 0, -1]
+        states, probe = step_k(states, 0)
+        np.asarray(probe)
+        # sustained: keep the pipeline full, force only at the end
+        t0 = time.perf_counter()
+        for i in range(steps):
+            states, probe = step_k(states, i + 1)
+        np.asarray(probe)
+        sustained = (time.perf_counter() - t0) / steps
+        # synchronous: force the tiny probe each step
+        sync = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            states, probe = step_k(states, 100 + i)
+            np.asarray(probe)
+            sync.append(time.perf_counter() - t0)
+        sync.sort()
+        out["per_k"][str(k)] = {
+            "sustained_ms": round(1e3 * sustained, 2),
+            "sync_p95_ms": round(1e3 * sync[int(len(sync) * 0.9)], 2),
+        }
+        if sustained * 1e3 < deadline_ms:
+            sustained_max = k
+    out["streams_sustained_at_deadline"] = sustained_max
+    return out
 
 
 def main():
@@ -164,7 +231,8 @@ def main():
 
     # fused (Pallas analyzer) path first — the fast tier and the headline;
     # batch must be 1024-aligned.
-    jobs = [("full_chain_fused", CONFIGS["full_chain"], BATCH, True),
+    jobs = [("full_chain_fusedx", CONFIGS["full_chain"], BATCH, "chain_fused"),
+            ("full_chain_fused", CONFIGS["full_chain"], BATCH, True),
             ("saturator_fused", CONFIGS["saturator"], BATCH, True)]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
     # chain batch sweep: the heavier stages stop scaling past a few thousand
@@ -175,7 +243,7 @@ def main():
     # to re-measure everything) — compiles on this box take minutes per config
     # and the persistent cache keeps reruns honest.
     force = bool(os.environ.get("JUICY_BENCH_FORCE"))
-    always = {"full_chain_fused", "full_chain"}
+    always = {"full_chain_fusedx", "full_chain_fused", "full_chain"}
     for name, stages, batch, fused in jobs:
         if (not force and name not in always
                 and isinstance(details.get(name), dict)
@@ -192,6 +260,13 @@ def main():
             details["realtime_latency"] = bench_realtime_latency()
         except Exception as e:
             details["realtime_latency"] = {"error": repr(e)}
+        save()
+
+    if force or "realtime_streams" not in details:
+        try:
+            details["realtime_streams"] = bench_realtime_streams()
+        except Exception as e:
+            details["realtime_streams"] = {"error": repr(e)}
         save()
 
     candidates = [v for k, v in details.items()

@@ -70,18 +70,95 @@ def _stream(plug, params, audio, sr, meters=False, jsonl=None,
     return out, rows
 
 
+def _parse_automation(specs, num_blocks):
+    """--automate punch=0.2,1.4 -> per-block linear curves (the host-writes-
+    APVTS-between-blocks analog, JuicyPunch/PluginProcessor.cpp:74-80)."""
+    from juicy_tpu.runtime.stream import automation_curve
+    auto = {}
+    for spec in specs or []:
+        k, v = spec.split("=", 1)
+        vals = [float(x) for x in v.split(",")]
+        auto[k] = automation_curve(vals, num_blocks)
+    return auto
+
+
+def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
+                 automation=None, title=None):
+    """Block-by-block render with a live-updating meter panel.
+
+    The reference UX: a 20 Hz juce::Timer polls getLatestMetrics and
+    repaints the meter (JuicyPluginEditor.cpp:36,85-90); here the panel
+    repaints in-place (ANSI cursor control) while blocks stream, with
+    parameter automation applied mid-run. `realtime` paces the loop to the
+    audio clock (1x); otherwise it renders as fast as the chip goes.
+    """
+    import sys
+    import time
+    import jax.numpy as jnp
+    from juicy_tpu.runtime.stream import pad_to_blocks
+    from juicy_tpu.ui.meters import MeterPanel
+
+    padded, t = pad_to_blocks(jnp.asarray(audio), plug.block_size)
+    nb = padded.shape[-1] // plug.block_size
+    automation = automation or {}
+    panel = MeterPanel(title or plug.defn.title,
+                       show_ghost_stats=plug.defn.show_ghost_stats,
+                       show_triangle_metrics=plug.defn.show_triangle_metrics)
+    state = plug.init_state()
+    outs = []
+    block_s = plug.block_size / sr
+    last_paint = 0.0
+    painted_lines = 0
+    start = time.perf_counter()
+    for k in range(nb):
+        blk = padded[..., k * plug.block_size:(k + 1) * plug.block_size]
+        p = dict(params)
+        for key, curve in automation.items():
+            p[key] = curve[k]
+        out, state, metrics = plug.jit_step(p, state, blk)
+        outs.append(np.asarray(out))
+        now = time.perf_counter()
+        if now - last_paint >= 1.0 / refresh_hz or k == nb - 1:
+            panel.set_metrics({key: float(np.asarray(v))
+                               for key, v in metrics.items()})
+            frame = panel.render()
+            if painted_lines:
+                sys.stdout.write(f"\x1b[{painted_lines}F\x1b[J")
+            sys.stdout.write(frame + "\n")
+            sys.stdout.flush()
+            painted_lines = frame.count("\n") + 1
+            last_paint = now
+        if realtime:
+            target = start + (k + 1) * block_s
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+    return np.concatenate(outs, axis=-1)[..., :t]
+
+
 def cmd_process(args):
     from juicy_tpu.runtime.wav import read_wav, write_wav
     audio, sr = read_wav(args.input)
     plug, params = _build_plugin(args, sr, audio.shape[0])
-    out, rows = _stream(plug, params, audio, sr, meters=args.meters,
-                        jsonl=args.metrics_jsonl,
-                        triangle=plug.defn.show_triangle_metrics,
-                        ghost=plug.defn.show_ghost_stats)
+    if getattr(args, "live", False):
+        nb = (audio.shape[-1] + args.block - 1) // args.block
+        auto = _parse_automation(args.automate, nb)
+        out = _stream_live(plug, params, audio, sr,
+                           realtime=getattr(args, "realtime", False),
+                           automation=auto)
+        rows = []
+    else:
+        out, rows = _stream(plug, params, audio, sr, meters=args.meters,
+                            jsonl=args.metrics_jsonl,
+                            triangle=plug.defn.show_triangle_metrics,
+                            ghost=plug.defn.show_ghost_stats)
     write_wav(args.output, out, sr)
     last = rows[-1] if rows else {}
-    print(f"wrote {args.output}  juiciness={last.get('score', 0.0):.1f} "
-          f"(pre {last.get('pre_score', 0.0):.1f})")
+    if rows:
+        print(f"wrote {args.output}  juiciness={last.get('score', 0.0):.1f} "
+              f"(pre {last.get('pre_score', 0.0):.1f})")
+    else:
+        print(f"wrote {args.output}")
 
 
 def cmd_chain(args):
@@ -132,6 +209,16 @@ def main(argv=None):
         p.add_argument("--set", action="append", metavar="PARAM=VALUE")
         p.add_argument("--meters", action="store_true")
         p.add_argument("--metrics-jsonl")
+        if name == "process":
+            p.add_argument("--live", action="store_true",
+                           help="repaint the meter panel at ~20 Hz while "
+                                "rendering (JuicyPluginEditor analog)")
+            p.add_argument("--realtime", action="store_true",
+                           help="pace --live at 1x audio rate")
+            p.add_argument("--automate", action="append",
+                           metavar="PARAM=V0,V1,...",
+                           help="linear per-block automation curve applied "
+                                "mid-run (repeatable)")
 
     p = sub.add_parser("chain")
     p.add_argument("input")
