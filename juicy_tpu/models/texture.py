@@ -480,8 +480,8 @@ def process(params, carry, block, sr: float):
     channels, n = block.shape
     mode = static_material(params)
     if mode is None:
-        raise NotImplementedError(
-            "traced `material` is not supported; pass a static material index")
+        # traced material: one compiled step serves mixed-material batches
+        return process_traced(params, carry, block, sr)
     mode = max(0, min(4, mode))
 
     white, new_rng = block_noise(carry["rng"], channels, n)
@@ -510,3 +510,195 @@ base.register(base.ProcessorDef(
     process=process,
     static_params=("material",),
 ))
+
+
+def _material_substep_traced(p, sr: float, L: int):
+    """Traced-material variant: computes ALL 5 material substeps per sample
+    and selects per lane by the (traced) material index. The shared body
+    (envelopes, band split, noise, tail, DC, limiter — ~60% of the work) is
+    common, so a mixed-material batch costs ~2x a single-material run
+    instead of 5x (VERDICT round-1 item 7).
+
+    `material` may be a scalar or a per-clip batched array; each selected
+    value is bit-identical to the corresponding static-material branch."""
+    mats = [material_consts(m, p, sr, L) for m in range(5)]
+    texture = p["texture"]
+    one = jnp.float32(1.0)
+    mc0, mc1, mc2, mc3, mc4 = mats
+    a1_w, a2_w = mc2["a1"], mc2["a2"]
+    a1_p, a2_p = mc3["a1"], mc3["a2"]
+
+    def extract(c):
+        return (c["spring_pos"], c["spring_vel"],
+                c["modal_y1"], c["modal_y2"],
+                c["waveguide"], c["wave_idx"], c["prev_wave"],
+                c["flesh_pos_a"], c["flesh_vel_a"],
+                c["flesh_pos_b"], c["flesh_vel_b"])
+
+    def pack(m):
+        return {"spring_pos": m[0], "spring_vel": m[1],
+                "modal_y1": m[2], "modal_y2": m[3],
+                "waveguide": m[4], "wave_idx": m[5], "prev_wave": m[6],
+                "flesh_pos_a": m[7], "flesh_vel_a": m[8],
+                "flesh_pos_b": m[9], "flesh_vel_b": m[10]}
+
+    def step(mat, core, impact, body, trail, hp_state, material):
+        (pos, vel, y1, y2, wg, widx, prev_wave, pa, va, pb, vb) = mat
+        mm = jnp.asarray(material, jnp.int32)
+        is_gel = mm == 0
+        is_metal = mm == 1
+        is_wood = mm == 2
+        is_plastic = mm == 3
+        is_wg = is_wood | is_plastic
+        is_flesh = mm == 4
+
+        # --- gel (cpp:137-151) ---
+        zeta = jmap(trail, 0.62, 1.45)
+        cdamp = jnp.float32(2.0) * zeta * mc0["omega"]
+        force_g = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
+        acc = mc0["k"] * (force_g - pos) - cdamp * vel
+        vel_n = vel + acc
+        pos_n = pos + vel_n
+        shaped_gel = jnp.float32(0.48) * core + jnp.float32(1.85) * pos_n
+        shaped_gel = jnp.tanh(shaped_gel * (jnp.float32(0.96)
+                                            + jnp.float32(0.28) * texture))
+
+        # --- metal (cpp:152-169), per-sample coefficients ---
+        exc_m = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
+        bend = one + jnp.float32(0.09) * impact
+        a1_m, a2_m = _modal_coeffs(mc1["f0"] * mc1["ratios"] * bend[..., None],
+                                   mc1["t60s"], sr)
+        y_metal, _ = _modal_bank_step(y1, y2, exc_m, a1_m, a2_m, mc1["gains"])
+        modes_m = _serial_mode_sum(y_metal)
+        bright = jnp.float32(0.03) * impact * (core - hp_state)
+        shaped_metal = (jnp.float32(0.44) * core + jnp.float32(0.42) * modes_m
+                        + bright) * (jnp.float32(0.78)
+                                     + jnp.float32(0.10) * texture)
+
+        # --- wood / plastic (cpp:170-212) ---
+        delay = jnp.where(is_wood, mc2["delay_samp"], mc3["delay_samp"])
+        damp = jnp.where(is_wood, mc2["damp"], mc3["damp"])
+        wgm0 = jnp.where(is_wood, mc2["wg_mix"][0], mc3["wg_mix"][0])
+        wgm1 = jnp.where(is_wood, mc2["wg_mix"][1], mc3["wg_mix"][1])
+        excs0 = jnp.where(is_wood, mc2["exc_scale"][0], mc3["exc_scale"][0])
+        excs1 = jnp.where(is_wood, mc2["exc_scale"][1], mc3["exc_scale"][1])
+        exc_w = core * (excs0 + excs1 * impact)
+        pos_f = widx.astype(jnp.float32) - delay
+        pos_f = jnp.where(pos_f < 0, pos_f + jnp.float32(L), pos_f)
+        i0 = pos_f.astype(jnp.int32)
+        i1 = jnp.mod(i0 + 1, L)
+        frac = pos_f - i0.astype(jnp.float32)
+        v0 = jnp.take_along_axis(wg, i0[..., None], axis=-1)[..., 0]
+        v1 = jnp.take_along_axis(wg, i1[..., None], axis=-1)[..., 0]
+        delayed = v0 + frac * (v1 - v0)
+        inject = jnp.where(is_wood,
+                           exc_w * (jnp.float32(0.09)
+                                    + jnp.float32(0.04) * body),
+                           jnp.float32(0.14) * exc_w)
+        new_wave = damp * (wgm0 * delayed + wgm1 * prev_wave) + inject
+        cur = jnp.take_along_axis(wg, widx[..., None], axis=-1)[..., 0]
+        wg_n = jnp.put_along_axis(wg, widx[..., None],
+                                  jnp.where(is_wg, new_wave, cur)[..., None],
+                                  axis=-1, inplace=False)
+        widx_n = jnp.where(is_wg, jnp.mod(widx + 1, L), widx)
+        a1_wp = jnp.where(is_wood[..., None], a1_w, a1_p)
+        a2_wp = jnp.where(is_wood[..., None], a2_w, a2_p)
+        g_wp = jnp.where(is_wood[..., None], mc2["gains"], mc3["gains"])
+        y_wp, _ = _modal_bank_step(y1, y2, exc_w, a1_wp, a2_wp, g_wp)
+        modes_w = _serial_mode_sum(y_wp)
+        om = [jnp.where(is_wood, mc2["out_mix"][i], mc3["out_mix"][i])
+              for i in range(5)]
+        shaped_wg = (om[0] * core + om[1] * delayed + om[2] * modes_w) \
+            * (om[3] + om[4] * texture)
+
+        # --- flesh (cpp:214-236) ---
+        force_f = core * (jnp.float32(0.55) + jnp.float32(0.65) * body)
+        acc_a = mc4["k_a"] * (force_f - pa) - mc4["c_a"] * va \
+            - mc4["k_couple"] * (pa - pb)
+        acc_b = mc4["k_b"] * (pa - pb) - mc4["c_b"] * vb
+        va_n = va + acc_a
+        vb_n = vb + acc_b
+        pa_n = pa + va_n
+        pb_n = pb + vb_n
+        tissue = jnp.float32(0.92) * pa_n + jnp.float32(0.58) * pb_n
+        nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
+        shaped_flesh = jnp.tanh((jnp.float32(0.50) * core
+                                 + jnp.float32(1.34) * nl)
+                                * (jnp.float32(0.98)
+                                   + jnp.float32(0.16) * texture))
+
+        # --- select shaped output + state updates per lane ---
+        shaped = jnp.where(is_gel, shaped_gel,
+                           jnp.where(is_metal, shaped_metal,
+                                     jnp.where(is_wg, shaped_wg,
+                                               shaped_flesh)))
+        is_modal = (is_metal | is_wg)[..., None]
+        y1_n = jnp.where(is_modal,
+                         jnp.where(is_metal[..., None], y_metal, y_wp), y1)
+        y2_n = jnp.where(is_modal, y1, y2)
+        new_mat = (jnp.where(is_gel, pos_n, pos),
+                   jnp.where(is_gel, vel_n, vel),
+                   y1_n, y2_n, wg_n, widx_n,
+                   jnp.where(is_wg, delayed, prev_wave),
+                   jnp.where(is_flesh, pa_n, pa),
+                   jnp.where(is_flesh, va_n, va),
+                   jnp.where(is_flesh, pb_n, pb),
+                   jnp.where(is_flesh, vb_n, vb))
+        return shaped, new_mat
+
+    return extract, step, pack
+
+
+def process_traced(params, carry, block, sr: float):
+    """Texture with a TRACED material index — one compiled step serves
+    mixed-material corpora (vmap `material` over the batch). Selected values
+    are bit-identical to the static-material branches; costs ~2x a single
+    material (all substeps computed, shared body amortized)."""
+    block = jnp.asarray(block, jnp.float32)
+    channels, n = block.shape[-2], block.shape[-1]
+
+    material = jnp.clip(jnp.asarray(params.get("material", 0), jnp.int32),
+                        0, 4)
+    mm = material[..., None] if material.ndim else material  # per-channel
+
+    in_trim = jnp.take(jnp.asarray(MATERIAL_INPUT_TRIM, jnp.float32), material)
+    mat_trim = jnp.take(jnp.asarray(MATERIAL_TRIM, jnp.float32), material)
+
+    tail_shape = jnp.asarray(params["tailshape"], jnp.float32)
+    damping = jnp.asarray(params["damping"], jnp.float32)
+    weight = jnp.asarray(params["weight"], jnp.float32)
+    texture = jnp.asarray(params["texture"], jnp.float32)
+    damping_amt = jlimit(0.0, 1.0, damping)
+
+    consts = dict(
+        tail_shape=tail_shape, texture=texture,
+        mix=jnp.asarray(params["mix"], jnp.float32),
+        out_gain=db_to_gain(params["output"]),
+        decay=jmap(tail_shape, 0.30, 0.985) * jmap(damping_amt, 1.0, 0.80),
+        low_boost=jnp.float32(1.0) + weight,
+        split_low=onepole_coeff(140.0, sr),
+        split_high=onepole_coeff(2600.0, sr),
+        env_atk=tau_coeff(0.0025, sr), env_rel=tau_coeff(0.080, sr),
+        wet_atk=tau_coeff(0.005, sr), wet_rel=tau_coeff(0.090, sr),
+        dc_r=jnp.float32(0.995),
+        auto_gain_base=jmap(texture, 0.78, 0.54),
+        in_trim=in_trim, mat_trim=mat_trim)
+
+    white, new_rng = block_noise(carry["rng"], channels, n)
+    mp = dict(texture=texture, tailshape=tail_shape, damping_amt=damping_amt,
+              damping_mul=jmap(damping_amt, 1.35, 0.40), weight=weight)
+    extract, mat_step, pack = _material_substep_traced(
+        mp, sr, carry["waveguide"].shape[-1])
+
+    base_step = make_sample_step(
+        consts, lambda mat, core, impact, body, trail, hp:
+        mat_step(mat, core, impact, body, trail, hp, mm))
+
+    init_c = extract_scan_carry(carry, extract)
+    xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))
+    c_final, out_t = jax.lax.scan(base_step, init_c, xs, unroll=1)
+    out = jnp.moveaxis(out_t, 0, -1)
+
+    new_carry = pack_scan_carry(c_final, carry, pack)
+    new_carry["rng"] = new_rng
+    return out, new_carry

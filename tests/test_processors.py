@@ -198,3 +198,48 @@ def test_texture_long_ring():
     check("texture", oracles.TextureOracle,
           dict(material=1, tailshape=1.0, damping=0.0, weight=1.0,
                texture=1.0, mix=1.0, output=0.0), clip, budget_db=-80.0)
+
+
+def test_texture_traced_material_matches_static():
+    """Traced-material texture (one jit for mixed-material corpora) selects
+    values bit-identical to the static-material branches."""
+    import jax
+    from juicy_tpu.models import texture as tex
+    local = np.random.default_rng(0xBEEF)
+    clip = make_clip(local, 2, BLOCK * 2)
+    sr = SR
+    base = {"tailshape": jnp.float32(0.55), "damping": jnp.float32(0.5),
+            "weight": jnp.float32(0.45), "texture": jnp.float32(0.5),
+            "mix": jnp.float32(1.0), "output": jnp.float32(-2.0)}
+    # static reference per material
+    for mode in range(5):
+        carry = tex.init(sr, 2)
+        out_s, c_s = tex.process(dict(base, material=mode), carry,
+                                 jnp.asarray(clip), sr)
+        carry = tex.init(sr, 2)
+        out_t, c_t = tex.process_traced(
+            dict(base, material=jnp.int32(mode)), carry, jnp.asarray(clip), sr)
+        res = residual_dbfs(np.asarray(out_t), np.asarray(out_s))
+        assert res <= -120.0, f"material {mode}: traced vs static {res:.1f}"
+
+    # mixed-material batch in ONE jit == grouped static runs
+    mats = np.array([0, 1, 2, 3, 4, 2], np.int32)
+    clips = np.stack([make_clip(np.random.default_rng(100 + i), 2, BLOCK * 2)
+                      for i in range(6)]).astype(np.float32)
+
+    @jax.jit
+    def run_traced(cs, ms):
+        def one(clip, m):
+            carry = tex.init(SR, 2)
+            out, _ = tex.process_traced(dict(base, material=m), carry,
+                                        jnp.asarray(clip), SR)
+            return out
+        return jax.vmap(one)(cs, ms)
+
+    out_mixed = np.asarray(run_traced(jnp.asarray(clips), jnp.asarray(mats)))
+    for i, m in enumerate(mats):
+        carry = tex.init(SR, 2)
+        ref, _ = tex.process(dict(base, material=int(m)), carry,
+                             jnp.asarray(clips[i]), SR)
+        res = residual_dbfs(out_mixed[i], np.asarray(ref))
+        assert res <= -120.0, f"clip {i} (mat {m}): {res:.1f} dBFS"
