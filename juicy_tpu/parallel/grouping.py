@@ -41,9 +41,8 @@ def run_grouped(plugin, params: Dict[str, Any], clips,
     scores = np.zeros((clips.shape[0],), np.float32)
     for v in np.unique(values):
         idx = np.nonzero(values == v)[0]
-        plugin._static = dict(getattr(plugin, "_static", {}))
-        plugin._static[static_param] = int(v)
-        sub_out, sub_scores = runner(plugin, params, clips[idx])
+        sub_plugin = plugin.with_static(**{static_param: int(v)})
+        sub_out, sub_scores = runner(sub_plugin, params, clips[idx])
         out[idx] = np.asarray(sub_out)
         scores[idx] = np.asarray(sub_scores)
     return out, scores

@@ -49,13 +49,26 @@ class Plugin:
     """One processor instance bound to (sample rate, channels, block size)."""
 
     def __init__(self, defn: Union[str, ProcessorDef], sr: float = 48000.0,
-                 channels: int = 2, block_size: int = 512):
+                 channels: int = 2, block_size: int = 512,
+                 static: Optional[Dict[str, int]] = None):
         if isinstance(defn, str):
             defn = get_processor(defn)
         self.defn = defn
         self.sr = float(sr)
         self.channels = int(channels)
         self.block_size = int(block_size)
+        # static (code-path-selecting) params, e.g. texture's material.
+        # Explicit constructor state — not a mutation side channel.
+        self._static: Dict[str, int] = dict(static or {})
+
+    def with_static(self, **static) -> "Plugin":
+        """A new Plugin bound to updated static params (e.g.
+        ``plug.with_static(material=2)``) — the immutable alternative to
+        mutating an instance between calls."""
+        merged = dict(self._static)
+        merged.update({k: int(v) for k, v in static.items()})
+        return Plugin(self.defn, self.sr, self.channels, self.block_size,
+                      static=merged)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -119,13 +132,12 @@ class Plugin:
         for key in self.defn.static_params:
             if key in traced:
                 static[key] = int(jax.device_get(traced.pop(key)))
-        self._static = getattr(self, "_static", {})
         self._static.update(static)
         return traced, static
 
     def full_params(self, params):
         merged = dict(params)
-        merged.update(getattr(self, "_static", {}))
+        merged.update(self._static)
         return merged
 
     # -- the hot path ------------------------------------------------------

@@ -65,3 +65,72 @@ def test_bridge_background_pump(rng):
             time.sleep(0.005)
     bridge.stop()
     assert got == 3
+
+
+def test_host_bridge_sustained_load(rng):
+    """Throughput/latency under load: stream many blocks through the SPSC
+    rings with the background pump running, measure end-to-end block
+    latency and verify nothing is dropped or reordered (round-1 review
+    item: the bridge's realtime story was asserted, never measured)."""
+    import time
+    from juicy_tpu.runtime import native
+    from juicy_tpu.runtime.host_bridge import HostBridge
+    from juicy_tpu.runtime.plugin import Plugin
+    if not native.available():
+        pytest.skip("native juicyio unavailable")
+
+    plug = Plugin("saturator", 48000.0, 2, 512)
+    bridge = HostBridge(plug, ring_blocks=64)
+    nblocks = 200
+    clip = make_clip(rng, 2, 512 * nblocks).astype(np.float32)
+    blocks = [clip[:, k * 512:(k + 1) * 512] for k in range(nblocks)]
+
+    # warm the jit before timing
+    bridge.push_block(blocks[0])
+    t0 = time.perf_counter()
+    while bridge.pop_block() is None:
+        bridge.process_available()
+        if time.perf_counter() - t0 > 120:
+            raise TimeoutError("first block never came back")
+
+    bridge.start(poll_s=0.0005)
+    got = []
+    lat = []
+    t_start = time.perf_counter()
+    pushed = 0
+    dropped = 0
+    push_t = {}
+    while len(got) < nblocks - 1 or pushed < nblocks - 1:
+        if pushed < nblocks - 1:
+            if bridge.push_block(blocks[pushed + 1]):
+                push_t[pushed] = time.perf_counter()
+                pushed += 1
+            else:
+                dropped += 1  # ring full: backpressure, retry
+        out = bridge.pop_block()
+        if out is not None:
+            lat.append(time.perf_counter() - push_t.get(len(got), t_start))
+            got.append(out)
+        if time.perf_counter() - t_start > 300:
+            break
+    bridge.stop()
+
+    assert len(got) == nblocks - 1, f"lost blocks: {len(got)}/{nblocks - 1}"
+    wall = time.perf_counter() - t_start
+    audio_sec = len(got) * 512 / 48000.0
+    x_rt = audio_sec / wall
+    lat.sort()
+    p95_ms = 1e3 * lat[int(len(lat) * 0.95)]
+    # sanity floor only (CI machines vary; the bench reports real numbers):
+    # the bridge must sustain at least realtime for a single stream and the
+    # output must be the correct audio in order.
+    assert x_rt > 1.0, f"bridge slower than realtime: {x_rt:.2f}x"
+    state = plug.init_state()
+    import jax.numpy as jnp
+    want, _, _ = plug.run(plug.default_params(), state,
+                          jnp.asarray(clip[:, :512 * 8]))
+    gotcat = np.concatenate([blocks[0]] * 0 + got[:7], axis=-1)
+    np.testing.assert_allclose(gotcat, np.asarray(want)[:, 512:512 * 8],
+                               atol=2e-6)
+    print(f"bridge sustained {x_rt:.1f}x realtime, p95 latency {p95_ms:.2f} ms,"
+          f" ring-full backpressure events: {dropped}")
