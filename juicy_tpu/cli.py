@@ -82,15 +82,59 @@ def _parse_automation(specs, num_blocks):
     return auto
 
 
+class _KeyReader:
+    """Non-blocking single-key reader (cbreak mode); inert without a tty."""
+
+    def __init__(self):
+        import sys
+        self.enabled = sys.stdin.isatty()
+        self._old = None
+
+    def __enter__(self):
+        if self.enabled:
+            import sys
+            import termios
+            import tty
+            self._fd = sys.stdin.fileno()
+            self._old = termios.tcgetattr(self._fd)
+            tty.setcbreak(self._fd)
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            import termios
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+
+    def poll(self):
+        if not self.enabled:
+            return None
+        import select
+        import sys
+        if select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":      # arrow keys: ESC [ A/B/C/D
+                if select.select([sys.stdin], [], [], 0.01)[0]:
+                    seq = sys.stdin.read(2)
+                    return {"[A": "up", "[B": "down", "[C": "right",
+                            "[D": "left"}.get(seq)
+                return "esc"
+            return ch
+    # keys: up/down select param, left/right nudge +-2% of range,
+    # shift via </> for 10%, q quits
+
+
 def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
-                 automation=None, title=None):
+                 automation=None, title=None, interactive=False):
     """Block-by-block render with a live-updating meter panel.
 
     The reference UX: a 20 Hz juce::Timer polls getLatestMetrics and
-    repaints the meter (JuicyPluginEditor.cpp:36,85-90); here the panel
-    repaints in-place (ANSI cursor control) while blocks stream, with
-    parameter automation applied mid-run. `realtime` paces the loop to the
-    audio clock (1x); otherwise it renders as fast as the chip goes.
+    repaints the meter (JuicyPluginEditor.cpp:36,85-90) over auto-generated
+    parameter sliders (createControls, :104-131); here the panel repaints
+    in-place (ANSI cursor control) while blocks stream, with parameter
+    automation applied mid-run and — with `interactive` on a tty — keyboard
+    param editing (up/down select, left/right nudge, the slider-surface
+    analog). `realtime` paces the loop to the audio clock (1x); otherwise it
+    renders as fast as the chip goes.
     """
     import sys
     import time
@@ -105,34 +149,67 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
                        show_ghost_stats=plug.defn.show_ghost_stats,
                        show_triangle_metrics=plug.defn.show_triangle_metrics)
     state = plug.init_state()
+    params = dict(params)
+    editable = [pid for pid in params
+                if not plug.defn.param(pid).readonly] if interactive else []
+    sel = 0
     outs = []
     block_s = plug.block_size / sr
     last_paint = 0.0
     painted_lines = 0
     start = time.perf_counter()
-    for k in range(nb):
-        blk = padded[..., k * plug.block_size:(k + 1) * plug.block_size]
-        p = dict(params)
-        for key, curve in automation.items():
-            p[key] = curve[k]
-        out, state, metrics = plug.jit_step(p, state, blk)
-        outs.append(np.asarray(out))
-        now = time.perf_counter()
-        if now - last_paint >= 1.0 / refresh_hz or k == nb - 1:
-            panel.set_metrics({key: float(np.asarray(v))
-                               for key, v in metrics.items()})
-            frame = panel.render()
-            if painted_lines:
-                sys.stdout.write(f"\x1b[{painted_lines}F\x1b[J")
-            sys.stdout.write(frame + "\n")
-            sys.stdout.flush()
-            painted_lines = frame.count("\n") + 1
-            last_paint = now
-        if realtime:
-            target = start + (k + 1) * block_s
-            delay = target - time.perf_counter()
-            if delay > 0:
-                time.sleep(delay)
+    with _KeyReader() as keys:
+        for k in range(nb):
+            if interactive:
+                key = keys.poll()
+                while key is not None:
+                    if key == "q":
+                        nb = k + 1
+                    elif key == "up":
+                        sel = (sel - 1) % max(1, len(editable))
+                    elif key == "down":
+                        sel = (sel + 1) % max(1, len(editable))
+                    elif key in ("left", "right", "<", ">") and editable:
+                        pid = editable[sel]
+                        spec = plug.defn.param(pid)
+                        pct = 0.10 if key in ("<", ">") else 0.02
+                        sign = 1.0 if key in ("right", ">") else -1.0
+                        v = float(params[pid]) + sign * pct * (spec.hi - spec.lo)
+                        params[pid] = np.float32(min(spec.hi, max(spec.lo, v)))
+                    key = keys.poll()
+            blk = padded[..., k * plug.block_size:(k + 1) * plug.block_size]
+            p = dict(params)
+            for key2, curve in automation.items():
+                p[key2] = curve[k]
+            out, state, metrics = plug.jit_step(p, state, blk)
+            outs.append(np.asarray(out))
+            now = time.perf_counter()
+            if now - last_paint >= 1.0 / refresh_hz or k == nb - 1:
+                panel.set_metrics({key2: float(np.asarray(v))
+                                   for key2, v in metrics.items()})
+                frame = panel.render()
+                if interactive and editable:
+                    rows = []
+                    for i, pid in enumerate(editable):
+                        spec = plug.defn.param(pid)
+                        v = float(params[pid])
+                        frac = (v - spec.lo) / (spec.hi - spec.lo or 1.0)
+                        bar = "█" * int(round(24 * frac))
+                        cur = "▶" if i == sel else " "
+                        rows.append(f"  {cur} {pid:12s} [{bar:<24s}] {v:7.2f}")
+                    frame += "\n" + "\n".join(rows) + \
+                        "\n  ↑/↓ select · ←/→ nudge · </> coarse · q stop"
+                if painted_lines:
+                    sys.stdout.write(f"\x1b[{painted_lines}F\x1b[J")
+                sys.stdout.write(frame + "\n")
+                sys.stdout.flush()
+                painted_lines = frame.count("\n") + 1
+                last_paint = now
+            if realtime:
+                target = start + (k + 1) * block_s
+                delay = target - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
     return np.concatenate(outs, axis=-1)[..., :t]
 
 
@@ -145,7 +222,8 @@ def cmd_process(args):
         auto = _parse_automation(args.automate, nb)
         out = _stream_live(plug, params, audio, sr,
                            realtime=getattr(args, "realtime", False),
-                           automation=auto)
+                           automation=auto,
+                           interactive=getattr(args, "interactive", False))
         rows = []
     else:
         out, rows = _stream(plug, params, audio, sr, meters=args.meters,
@@ -219,6 +297,11 @@ def main(argv=None):
                            metavar="PARAM=V0,V1,...",
                            help="linear per-block automation curve applied "
                                 "mid-run (repeatable)")
+            p.add_argument("--interactive", action="store_true",
+                           help="with --live on a tty: keyboard param "
+                                "editing while rendering (up/down select, "
+                                "left/right nudge — the auto-generated "
+                                "slider surface analog)")
 
     p = sub.add_parser("chain")
     p.add_argument("input")
