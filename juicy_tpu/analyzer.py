@@ -26,6 +26,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from juicy_tpu.ops.scan_utils import default_unroll as _default_unroll
 from juicy_tpu.utils.convert import jlimit, onepole_coeff, tau_coeff
 
 # Metrics pytree: the 13 floats of the reference JuicinessMetrics struct
@@ -96,7 +97,8 @@ def _envelope_onset_scan(abs_mono, state, sr: float):
             jnp.zeros(batch_shape, jnp.int32),
             jnp.zeros(batch_shape, jnp.float32))
     (s_env, l_env, cooldown, count, accum), _ = jax.lax.scan(
-        step, init, jnp.moveaxis(abs_mono, -1, 0), unroll=8)
+        step, init, jnp.moveaxis(abs_mono, -1, 0),
+        unroll=_default_unroll())
     return s_env, l_env, cooldown, count, accum
 
 

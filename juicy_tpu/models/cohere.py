@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.scan_utils import default_unroll
 from juicy_tpu.utils.convert import db_to_gain, gain_to_db, jlimit, onepole_coeff
 
 PARAMS = (
@@ -148,7 +149,7 @@ def process(params, carry, block, sr: float):
         make_analysis_step(sr),
         (jnp.broadcast_to(carry["analysis_low"], batch_shape),
          jnp.broadcast_to(carry["analysis_high"], batch_shape), z, z, z),
-        jnp.moveaxis(mono, -1, 0), unroll=8)
+        jnp.moveaxis(mono, -1, 0), unroll=default_unroll())
     inv_n = jnp.float32(1.0 / max(1, n))
     low_e = low_e * inv_n
     mid_e = mid_e * inv_n
@@ -171,7 +172,7 @@ def process(params, carry, block, sr: float):
     (_, _, tail_f), wet_t = jax.lax.scan(
         render_step,
         (zero_c, zero_c, jnp.broadcast_to(carry["tail"], render_batch)),
-        jnp.moveaxis(dry, -1, 0), unroll=8)
+        jnp.moveaxis(dry, -1, 0), unroll=default_unroll())
     wet = jnp.moveaxis(wet_t, 0, -1)
 
     def bbn(v):

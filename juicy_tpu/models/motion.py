@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.scan_utils import default_unroll
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, jmap5, tau_coeff
 
 PARAMS = (
@@ -130,7 +131,8 @@ def _detection_pass(mono_abs, carry, micro_var, sr):
     """Pass 1 (cpp:75-95): sequential onset detection + RNG target rolls."""
     step = make_p1_step(micro_var, sr)
     init_c = p1_init(carry, mono_abs.shape[:-1])
-    final, _ = jax.lax.scan(step, init_c, jnp.moveaxis(mono_abs, -1, 0), unroll=4)
+    final, _ = jax.lax.scan(step, init_c, jnp.moveaxis(mono_abs, -1, 0),
+                            unroll=default_unroll(4))
     return final
 
 
@@ -282,7 +284,7 @@ def process(params, carry, block, sr: float):
         prev0 = jnp.broadcast_to(carry["prev"][..., ch], batch)
         (vt, vtr, vtl, phase, lp_c, tail_c, prev_c, be), y_t = jax.lax.scan(
             make_step(off), (vt, vtr, vtl, phase, lp0, tail0, prev0, be),
-            jnp.moveaxis(dry[..., ch, :], -1, 0), unroll=8)
+            jnp.moveaxis(dry[..., ch, :], -1, 0), unroll=default_unroll())
         lp_f.append(lp_c)
         tail_f.append(tail_c)
         prev_f.append(prev_c)

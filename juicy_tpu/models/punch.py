@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.scan_utils import default_unroll
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, tau_coeff
 
 PARAMS = (
@@ -110,7 +111,7 @@ def process(params, carry, block, sr: float):
     (_, _), (f_env_t, s_env_t) = jax.lax.scan(
         env_step, (jnp.broadcast_to(carry["fast_env"], adry.shape[:-1]),
                    jnp.broadcast_to(carry["slow_env"], adry.shape[:-1])),
-        jnp.moveaxis(adry, -1, 0), unroll=8)
+        jnp.moveaxis(adry, -1, 0), unroll=default_unroll())
     f_env = jnp.moveaxis(f_env_t, 0, -1)
     s_env = jnp.moveaxis(s_env_t, 0, -1)
 

@@ -491,7 +491,8 @@ def process(params, carry, block, sr: float):
 
     init_c = extract_scan_carry(carry, extract)
     xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))
-    unroll = 4 if mode in (0, 4) else 1   # waveguide/modal carry is large
+    from juicy_tpu.ops.scan_utils import default_unroll
+    unroll = default_unroll(4) if mode in (0, 4) else 1
     c_final, out_t = jax.lax.scan(step, init_c, xs, unroll=unroll)
     out = jnp.moveaxis(out_t, 0, -1)
 

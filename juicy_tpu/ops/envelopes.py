@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 
 def ar_envelope(x, attack_coeff, release_coeff, init, axis: int = -1,
-                unroll: int = 8):
+                unroll: int = None):
     """env[n] = (1−c)·x[n] + c·env[n−1],  c = attack if x[n] > env[n−1] else release.
 
     Returns the full envelope sequence (same shape as x). `x` is expected
@@ -33,13 +33,14 @@ def ar_envelope(x, attack_coeff, release_coeff, init, axis: int = -1,
         env2 = (jnp.float32(1.0) - c) * xi + c * env
         return env2, env2
 
+    from juicy_tpu.ops.scan_utils import default_unroll
     _, envs = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
-                           unroll=unroll)
+                           unroll=unroll or default_unroll())
     return jnp.moveaxis(envs, 0, axis)
 
 
 def ar_envelope_final(x, attack_coeff, release_coeff, init, axis: int = -1,
-                      unroll: int = 8):
+                      unroll: int = None):
     """Like :func:`ar_envelope` but returns only the final envelope state."""
     x = jnp.asarray(x, jnp.float32)
     x_t = jnp.moveaxis(x, axis, 0)
@@ -50,6 +51,7 @@ def ar_envelope_final(x, attack_coeff, release_coeff, init, axis: int = -1,
         c = jnp.where(xi > env, attack_coeff, release_coeff)
         return (jnp.float32(1.0) - c) * xi + c * env, None
 
+    from juicy_tpu.ops.scan_utils import default_unroll
     env, _ = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
-                          unroll=unroll)
+                          unroll=unroll or default_unroll())
     return env

@@ -101,3 +101,14 @@ def linear_matrix_scan(mats, vecs, init):
     init = jnp.asarray(init, jnp.float32)
     return jnp.einsum("n...ij,...j->n...i", A, init,
                       precision=jax.lax.Precision.HIGHEST) + B
+
+
+def default_unroll(fallback: int = 8) -> int:
+    """Scan unroll factor. Unrolling speeds up TPU scans ~2x but inflates
+    trace/compile time ~linearly; the test suite sets JUICY_SCAN_UNROLL=1
+    (semantics are unroll-independent) so the 1-core CI box traces fast."""
+    import os
+    try:
+        return max(1, int(os.environ.get("JUICY_SCAN_UNROLL", fallback)))
+    except ValueError:
+        return fallback

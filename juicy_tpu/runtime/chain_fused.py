@@ -436,7 +436,7 @@ _FUSERS = {
 
 def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
                      block: jnp.ndarray, metrics: str = "blocks",
-                     unroll: int = 4):
+                     unroll: int = None):
     """One block [..., C, N] through the whole chain with fused scans.
 
     Returns (out [..., C, N], new_states, metrics_list) — same contract as
@@ -448,7 +448,8 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
     batch_shape = block.shape[:-2]
     sr = chain.sr
 
-    ex = _Executor(n, unroll=unroll)
+    from juicy_tpu.ops.scan_utils import default_unroll
+    ex = _Executor(n, unroll=unroll or default_unroll(4))
     ex.add_stream("x0", block)
 
     lanes: List[Optional[_AnalyzerLane]] = []

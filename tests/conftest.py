@@ -13,6 +13,9 @@ import os
 # null tests pass there too (the drift-pinned transcendentals hold on TPU).
 # Persistent compile cache: repeated pytest runs skip recompilation.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
+# Unrolled scans trace ~8x slower on this 1-core box; unroll only affects
+# throughput, never semantics, so the suite traces with unroll=1.
+os.environ.setdefault("JUICY_SCAN_UNROLL", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 

@@ -40,7 +40,7 @@ def test_fused_matches_stage_major(chain, rng):
     clips = _clips(rng)
     states = jax.vmap(lambda _: chain.init_state())(jnp.arange(clips.shape[0]))
     out_ref, st_ref, m_ref = chain.batched_run(states, clips)
-    out_f, st_f, m_f = fused_chain_stream(chain, states, jnp.asarray(clips))
+    out_f, st_f, m_f = fused_chain_stream(chain, states, jnp.asarray(clips), unroll=1)
     res = residual_dbfs(np.asarray(out_f), np.asarray(out_ref))
     assert res <= -95.0, f"fused vs stage-major audio residual {res:.1f} dBFS"
     for i in range(len(STAGES)):
@@ -68,7 +68,7 @@ def test_fused_waveguide_materials_batched(material, rng):
     clips = _clips(rng, b=2, nb=3)
     states = jax.vmap(lambda _: ch.init_state())(jnp.arange(2))
     out_ref, _, _ = ch.batched_run(states, clips)
-    out_f, _, _ = fused_chain_stream(ch, states, jnp.asarray(clips))
+    out_f, _, _ = fused_chain_stream(ch, states, jnp.asarray(clips), unroll=1)
     # path-vs-path residual only (the high-Q resonators amplify ulp-level
     # fusion-context differences); true fidelity is anchored vs the compiled
     # C++ in test_fused_chain_vs_cpp_oracle. A rank bug here would crash or
@@ -81,7 +81,7 @@ def test_fused_single_clip_unbatched(chain, rng):
     clip = make_clip(rng, 2, BLOCK * 3)
     states = chain.init_state()
     out_ref, _, _ = chain.run(states, clip)
-    out_f, _, _ = fused_chain_stream(chain, states, jnp.asarray(clip))
+    out_f, _, _ = fused_chain_stream(chain, states, jnp.asarray(clip), unroll=1)
     assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -95.0
 
 
@@ -89,11 +89,11 @@ def test_fused_metrics_modes(chain, rng):
     clips = _clips(rng, b=2, nb=3)
     states = jax.vmap(lambda _: chain.init_state())(jnp.arange(2))
     out_b, st_b, m_b = fused_chain_stream(chain, states, jnp.asarray(clips),
-                                          metrics="blocks")
+                                          metrics="blocks", unroll=1)
     out_f, st_f, m_f = fused_chain_stream(chain, states, jnp.asarray(clips),
-                                          metrics="final")
+                                          metrics="final", unroll=1)
     out_n, st_n, m_n = fused_chain_stream(chain, states, jnp.asarray(clips),
-                                          metrics="none")
+                                          metrics="none", unroll=1)
     # block 0 compiles outside the scan in "final" mode -> ulp-level
     # fusion-context differences only
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=2e-5)
@@ -116,12 +116,12 @@ def test_fused_block_step_equals_stream(chain, rng):
     """Block-by-block fused_chain_step == one fused_chain_stream call."""
     clip = make_clip(rng, 2, BLOCK * 3)
     states = chain.init_state()
-    out_s, st_s, _ = fused_chain_stream(chain, states, jnp.asarray(clip))
+    out_s, st_s, _ = fused_chain_stream(chain, states, jnp.asarray(clip), unroll=1)
     st = states
     outs = []
     for k in range(3):
         blk = jnp.asarray(clip[:, k * BLOCK:(k + 1) * BLOCK])
-        out, st, _ = fused_chain_step(chain, st, blk)
+        out, st, _ = fused_chain_step(chain, st, blk, unroll=1)
         outs.append(np.asarray(out))
     got = np.concatenate(outs, axis=-1)
     # eager per-block vs in-scan compile contexts differ at ulp level only
@@ -155,7 +155,7 @@ def test_fused_chain_vs_cpp_oracle(chain, rng):
         p.close()
 
     states = chain.init_state()
-    out, _, m = fused_chain_stream(chain, states, jnp.asarray(clip))
+    out, _, m = fused_chain_stream(chain, states, jnp.asarray(clip), unroll=1)
     res = residual_dbfs(np.asarray(out), ref)
     assert res <= -80.0, f"fused chain vs compiled C++ chain: {res:.1f} dBFS"
     for i, cs in enumerate(cpp_scores):
