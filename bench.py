@@ -128,6 +128,52 @@ def bench_config(stages, batch, fused=False, iters=3):
     }
 
 
+def bench_stage_kernel(name, material=None, batch=BATCH, iters=3):
+    """Full-stage Pallas kernel tier (kernels/stage_kernels.py): one
+    pallas_call per block doing pre-analyze + DSP + post-analyze, streamed
+    over ~1 s clips."""
+    from juicy_tpu.runtime.plugin import Plugin
+    from juicy_tpu.kernels import stage_kernels as sk
+
+    plug = Plugin(name, SR, CHANNELS, BLOCK)
+    if material is not None:
+        plug = plug.with_static(material=int(material))
+    params = plug.full_params(plug.default_params())
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(batch))
+    if name == "texture":
+        states = {"analyzer": states["analyzer"],
+                  "dsp": sk.texture_kernel_state(
+                      states["dsp"], SR, int(material or 0))}
+    step_fn = {"punch": sk.punch_stage_step,
+               "saturator": sk.saturator_stage_step,
+               "texture": sk.texture_stage_step}[name]
+    nb = NUM_BLOCKS
+
+    @jax.jit
+    def run(seed):
+        x = jax.random.normal(jax.random.PRNGKey(seed),
+                              (nb, batch, CHANNELS, BLOCK), jnp.float32) * 0.2
+        def sstep(st, blk):
+            out, st, _m = step_fn(params, st, blk, SR)
+            return st, out[:, 0, -1]
+        _st, ys = jax.lax.scan(sstep, states, x)
+        return ys[-1]
+
+    t0 = time.perf_counter()
+    np.asarray(run(0))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(1, iters + 1):
+        t0 = time.perf_counter()
+        np.asarray(run(i))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_sec = batch * nb * BLOCK / SR
+    return {"audio_sec_per_sec": audio_sec / wall, "x_realtime": audio_sec / wall,
+            "wall_s": wall, "compile_s": compile_s, "batch": batch,
+            "block": BLOCK}
+
+
 def bench_realtime_latency(iters=50):
     """Single-stream serving latency: one [2, 512] block through the full
     chain per call, dispatch included — the realtime host-bridge mode. The
@@ -253,6 +299,21 @@ def main():
             details[name] = bench_config(stages, batch, fused=fused)
         except Exception as e:  # keep the headline alive even if one config dies
             details[name] = {"error": repr(e)}
+        save()
+
+    kernel_jobs = [("punch_kernel", "punch", None),
+                   ("saturator_kernel", "saturator", None),
+                   ("texture_kernel_gel", "texture", 0),
+                   ("texture_kernel_metal", "texture", 1),
+                   ("texture_kernel_wood", "texture", 2)]
+    for kname, stage, material in kernel_jobs:
+        if (not force and isinstance(details.get(kname), dict)
+                and "audio_sec_per_sec" in details[kname]):
+            continue
+        try:
+            details[kname] = bench_stage_kernel(stage, material)
+        except Exception as e:
+            details[kname] = {"error": repr(e)}
         save()
 
     if force or "realtime_latency" not in details:

@@ -905,3 +905,124 @@ def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
          new_dsp["flesh_pos_b"], new_dsp["flesh_vel_b"]) = mat_out
     new_dsp["rng"] = lcg_advance(dsp["rng"], c * n)
     return out_bcn, {"analyzer": post_state, "dsp": new_dsp}, m
+
+
+# ---------------------------------------------------------------------------
+# Saturator full-stage kernel
+# ---------------------------------------------------------------------------
+
+def _sat_kernel(n, c, unroll, params_ref, x_ref, dsp_ref, lane_ref,
+                out_ref, dsp_out_ref, pre_fin_ref, pre_acc_ref,
+                post_fin_ref, post_acc_ref):
+    csub = _csub(c)
+    lane_k = tuple(params_ref[0, i] for i in range(7))
+    in_gain = params_ref[0, 7]
+    asym = params_ref[0, 8]
+    tone_c = params_ref[0, 9]
+    out_gain = params_ref[0, 10]
+    mix = params_ref[0, 11]
+
+    tone0 = dsp_ref[0:csub, :]
+    lane0 = _lane_from_ref(lane_ref)
+
+    def split(s):
+        l = s[0:MSUB, :]
+        r = s[MSUB:2 * MSUB, :] if c > 1 else l
+        return l, r
+
+    def body(t, carry):
+        tone, lane = carry
+        base = pl.multiple_of(t * unroll * csub, 8)
+        chunk = x_ref[pl.ds(base, unroll * csub), :]
+        ys = []
+        for u in range(unroll):
+            d = chunk[u * csub:(u + 1) * csub, :]
+            l, r = split(d)
+            lane = _lane_step(lane, l, r, lane_k)
+            # cpp:89-96: drive -> asym skew -> tanh -> tone one-pole -> mix
+            driven = d * in_gain
+            skewed = driven + asym * driven * driven
+            soft = jnp.tanh(skewed)
+            tone = tone + tone_c * (soft - tone)
+            wet = tone * out_gain
+            ys.append(d + mix * (wet - d))
+        out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(ys, axis=0)
+        return tone, lane
+
+    tone, lane = jax.lax.fori_loop(0, n // unroll, body, (tone0, lane0))
+    dsp_out_ref[0:csub, :] = tone
+    _store_lane(lane, pre_fin_ref, pre_acc_ref)
+
+    lane2 = _lane_reset(lane)
+
+    def body2(t, lane2):
+        base = pl.multiple_of(t * unroll * csub, 8)
+        chunk = out_ref[pl.ds(base, unroll * csub), :]
+        for u in range(unroll):
+            l, r = split(chunk[u * csub:(u + 1) * csub, :])
+            lane2 = _lane_step(lane2, l, r, lane_k)
+        return lane2
+
+    lane2 = jax.lax.fori_loop(0, n // unroll, body2, lane2)
+    _store_lane(lane2, post_fin_ref, post_acc_ref)
+
+
+def saturator_stage_step(params, state, block, sr: float, unroll: int = 8,
+                         interpret: bool = False):
+    """Full saturator step (pre-analyze → DSP → post-analyze) as one kernel.
+    Same contract as punch_stage_step. NOTE: the tone one-pole runs in the
+    C++'s serial op order (tone += c*(soft - tone)); the XLA path's
+    associative form differs by reassociation ulps only."""
+    from juicy_tpu.models import saturator as _sat2
+
+    block = jnp.asarray(block, jnp.float32)
+    bsz, c, n = block.shape
+    if bsz % TILE:
+        raise ValueError(f"batch {bsz} must be a multiple of {TILE}")
+    csub = _csub(c)
+
+    k = _sat2.sat_consts(params, sr)
+    pvec = jnp.stack([*_lane_consts(sr), k["in_gain"], k["asym"],
+                      k["tone_coeff"], k["out_gain"], k["mix"]])[None]
+    x = to_stream(block)
+    dsp0 = state_to_tiles([state["dsp"]["tone_state"]])
+    lane0 = pack_lane(state["analyzer"], bsz)
+    grid = bsz // TILE
+    kernel = _squeeze_kernel(functools.partial(_sat_kernel, n, c, unroll))
+
+    out, dsp_f, pre_fin, pre_acc, post_fin, post_acc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, pvec.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            _tilespec(n * csub),
+            _tilespec(csub),
+            _tilespec(5 * MSUB),
+        ],
+        out_specs=[
+            _tilespec(n * csub),
+            _tilespec(csub),
+            _tilespec(5 * MSUB),
+            _tilespec(10 * MSUB),
+            _tilespec(5 * MSUB),
+            _tilespec(10 * MSUB),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n * csub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, csub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pvec, x, dsp0, lane0)
+
+    out_bcn = from_stream(out, bsz, c)
+    post_state, m, _pre = metrics_from_lanes(pre_fin, pre_acc, post_fin,
+                                             post_acc, state["analyzer"],
+                                             bsz, n, sr)
+    (tone_f,) = tiles_to_state(dsp_f, bsz, c, 1)
+    return out_bcn, {"analyzer": post_state,
+                     "dsp": {"tone_state": tone_f}}, m

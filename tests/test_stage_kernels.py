@@ -124,3 +124,21 @@ def test_texture_kernel_streaming_blocks(rng):
         outs_k.append(np.asarray(o))
     np.testing.assert_allclose(np.concatenate(outs_k, -1),
                                np.concatenate(outs_ref, -1), atol=4e-6)
+
+
+def test_saturator_stage_kernel(rng):
+    b, n = 128, 128
+    plug = Plugin("saturator", SR, 2, n)
+    params = plug.default_params()
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+    blocks = _blocks(rng, b, n)
+    out_ref, st_ref, m_ref = plug.batch_step(params, states,
+                                             jnp.asarray(blocks))
+    out_k, st_k, m_k = sk.saturator_stage_step(
+        plug.full_params(params), states, jnp.asarray(blocks), SR,
+        unroll=4, interpret=True)
+    # serial tone one-pole (C++ order) vs the XLA path's associative form:
+    # reassociation ulps only
+    assert residual_dbfs(np.asarray(out_k), np.asarray(out_ref)) <= -110.0
+    assert float(np.max(np.abs(np.asarray(m_k["score"])
+                               - np.asarray(m_ref["score"])))) <= 1e-3
