@@ -277,9 +277,11 @@ def main():
 
     # fused (Pallas analyzer) path first — the fast tier and the headline;
     # batch must be 1024-aligned.
-    jobs = [("full_chain_fusedx", CONFIGS["full_chain"], BATCH, "chain_fused"),
-            ("full_chain_fused", CONFIGS["full_chain"], BATCH, True),
-            ("saturator_fused", CONFIGS["saturator"], BATCH, True)]
+    # legacy round-1 fused tier (analyzer-kernel fused_run) superseded by
+    # the fused chain executor + full-stage kernels; drop its stale entries
+    for legacy in ("full_chain_fused", "saturator_fused"):
+        details.pop(legacy, None)
+    jobs = [("full_chain_fusedx", CONFIGS["full_chain"], BATCH, "chain_fused")]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
     # chain batch sweep: the heavier stages stop scaling past a few thousand
     # clips, so the chain optimum may differ from the single-plugin optimum.
@@ -289,7 +291,7 @@ def main():
     # to re-measure everything) — compiles on this box take minutes per config
     # and the persistent cache keeps reruns honest.
     force = bool(os.environ.get("JUICY_BENCH_FORCE"))
-    always = {"full_chain_fusedx", "full_chain_fused", "full_chain"}
+    always = {"full_chain_fusedx", "full_chain"}
     for name, stages, batch, fused in jobs:
         if (not force and name not in always
                 and isinstance(details.get(name), dict)
