@@ -99,10 +99,16 @@ def save_plugin_state(path: str, plugin, params: Any, state: Any,
 def load_plugin_state(path: str, plugin, params_like: Any, state_like: Any):
     """Restore a save_plugin_state checkpoint, re-applying the program index
     and any renamed programs to the plugin instance."""
-    params, state, meta = load_state(path, params_like, state_like)
-    if meta.get("processor", plugin.defn.name) != plugin.defn.name:
+    # check the processor tag BEFORE structural restore so a wrong-plugin
+    # load fails with the informative error, not a leaf-count mismatch
+    # (the analog of the reference's XML tag check, cpp:143-144)
+    with open(path, "rb") as f:
+        blob = msgpack.unpackb(f.read())
+    tagged = blob.get(b"meta", {}).get(b"processor", b"").decode()
+    if tagged and tagged != plugin.defn.name:
         raise ValueError(
-            f"checkpoint is for {meta['processor']!r}, not {plugin.defn.name!r}")
+            f"checkpoint is for {tagged!r}, not {plugin.defn.name!r}")
+    params, state, meta = load_state(path, params_like, state_like)
     if "current_program" in meta:
         plugin._current_program = int(meta["current_program"])
     names = meta.get("program_names", "")
