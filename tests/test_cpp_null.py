@@ -317,3 +317,45 @@ def test_program_names_and_values(name):
             assert abs(got - float(val)) <= 2e-5 * max(1.0, abs(float(val))), (
                 name, i, key, got, val)
     proc.close()
+
+
+@pytest.mark.parametrize("sr2", [44100.0, 96000.0])
+def test_sample_rate_robustness_cpp(sr2, rng):
+    """Coefficients derive from sr everywhere (tau/onepole/waveguide sizes);
+    null vs the compiled C++ at non-48k rates too. The high-Q waveguide's
+    acceptance is ambiguity-aware like null_check: at 44.1/96 kHz the C++'s
+    own two fp-contraction builds differ at −76/−71 dBFS, and we only demand
+    to sit inside that spread."""
+    clip = make_clip(rng, 2, BLOCK * 3)
+    for name, params in (("saturator", dict(drive=9.0, asymmetry=0.2,
+                                            tone=0.4, mix=1.0, output=-3.0)),
+                         ("texture", dict(material=2, tailshape=0.6,
+                                          damping=0.4, weight=0.5,
+                                          texture=0.5, mix=1.0, output=-2.0))):
+        plug = Plugin(name, sr2, 2, BLOCK)
+        p = plug.default_params()
+        for k, v in params.items():
+            if k in plug.defn.static_params:
+                plug._static[k] = int(v)
+            else:
+                p[k] = jnp.float32(v)
+        state = plug.init_state()
+        outs = []
+        for k in range(3):
+            out, state, _ = plug.jit_step(
+                p, state, jnp.asarray(clip[:, k * BLOCK:(k + 1) * BLOCK]))
+            outs.append(np.asarray(out))
+        ours = np.concatenate(outs, axis=1)
+
+        refs = {}
+        for mode in ("off", "fma"):
+            proc = cpp_ref.CppProcessor(name, mode, sr2, BLOCK, 2)
+            proc.set_params(params)
+            refs[mode] = proc.run(clip.astype(np.float32), BLOCK)
+            proc.close()
+        res = {m: residual_dbfs(ours, r) for m, r in refs.items()}
+        ambiguity = residual_dbfs(refs["off"], refs["fma"])
+        best = min(res.values())
+        assert best <= max(-85.0, ambiguity + 3.0), (
+            f"{name}@{sr2:.0f}Hz: best {best:.1f} dBFS "
+            f"(C++ own build spread {ambiguity:.1f})")
