@@ -147,6 +147,7 @@ def bench_stage_kernel(name, material=None, batch=BATCH, iters=3):
     step_fn = {"punch": sk.punch_stage_step,
                "saturator": sk.saturator_stage_step,
                "texture": sk.texture_stage_step}[name]
+    unroll = 16 if name == "punch" else 8
     nb = NUM_BLOCKS
 
     @jax.jit
@@ -154,7 +155,7 @@ def bench_stage_kernel(name, material=None, batch=BATCH, iters=3):
         x = jax.random.normal(jax.random.PRNGKey(seed),
                               (nb, batch, CHANNELS, BLOCK), jnp.float32) * 0.2
         def sstep(st, blk):
-            out, st, _m = step_fn(params, st, blk, SR)
+            out, st, _m = step_fn(params, st, blk, SR, unroll=unroll)
             return st, out[:, 0, -1]
         _st, ys = jax.lax.scan(sstep, states, x)
         return ys[-1]
