@@ -44,7 +44,6 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from juicy_tpu import analyzer as _an
 from juicy_tpu.models import (cohere as _cohere, infer as _infer,
@@ -249,41 +248,23 @@ def _fuse_texture(ex, params, state, in_s, out_s, channels, sr):
         raise NotImplementedError("fused chain needs a static texture material")
     mode = max(0, min(4, mode))
     n = ex.n
+    if jnp.ndim(state["rng"]) == 0:
+        white, new_rng = _texture.block_noise(state["rng"], channels, n)
+    else:   # batched corpus: one LCG stream per clip
+        white, new_rng = jax.vmap(
+            lambda r: _texture.block_noise(r, channels, n))(state["rng"])
     consts, extract, mat_step, pack = _texture.block_consts(
         params, sr, mode, state["waveguide"].shape[-1])
     tex_step = _texture.make_sample_step(consts, mat_step)
-
-    # The LCG roughness draws are generated IN-BODY from closed-form jump
-    # coefficients (a tiny [4, N] xs stream of scalars) instead of
-    # materializing a full [B, C, N] white stream — saves ~32 MB of HBM
-    # traffic per corpus block at B=4096 (the chain is stream-traffic
-    # bound, BASELINE.md). Draw order matches the serial C++: ch0 takes
-    # draws 1..N, ch1 takes N+1..2N (cpp:239).
-    from juicy_tpu.ops.noise import _jump_coefficients, lcg_advance
-    a_np, b_np = _jump_coefficients(channels * n)
-    ab = np.stack([a_np[:n], b_np[:n],
-                   a_np[n:2 * n] if channels > 1 else a_np[:n],
-                   b_np[n:2 * n] if channels > 1 else b_np[:n]])  # [4, N]
-    ab_s = out_s + "_lcg"
-    ex.add_stream(ab_s, jnp.asarray(ab))
-    rng0 = jnp.asarray(state["rng"], jnp.uint32)
-    new_rng = lcg_advance(state["rng"], channels * n)
-    one = jnp.float32(1.0)
+    white_s = out_s + "_white"
+    ex.add_stream(white_s, white)
 
     def step(c, live):
-        ab_t = live[ab_s]                       # [4] uint32 scalars
-        halves = []
-        for ch in range(channels):
-            st = rng0 * ab_t[2 * ch] + ab_t[2 * ch + 1]
-            bits = (st >> jnp.uint32(8)) & jnp.uint32(0xFFFF)
-            halves.append(bits.astype(jnp.float32)
-                          * jnp.float32(1.0 / 32768.0) - one)
-        w = jnp.stack(halves, axis=-1)          # [..., C]
-        c2, out = tex_step(c, (live[in_s], w))
+        c2, out = tex_step(c, (live[in_s], live[white_s]))
         return c2, {out_s: out}
 
     p = _Pass(_texture.extract_scan_carry(state, extract), step,
-              (in_s, ab_s), (out_s,))
+              (in_s, white_s), (out_s,))
     ex.add_pass(p)
 
     def new_state():
