@@ -161,3 +161,30 @@ def test_fused_chain_vs_cpp_oracle(chain, rng):
     for i, cs in enumerate(cpp_scores):
         ours = float(np.asarray(m[i]["score"])[-1])
         assert abs(ours - cs) <= 0.2, (STAGES[i][0], ours, cs)
+
+
+@pytest.mark.parametrize("name", ["punch", "saturator", "texture", "motion",
+                                  "width", "cohere", "infer"])
+def test_fused_single_stage_chains(name, rng):
+    """The scheduler handles every single-stage chain (each stage type's
+    pass/barrier structure alone)."""
+    ch = Chain([(name, None)], sr=SR, channels=2, block_size=BLOCK)
+    clip = make_clip(rng, 2, BLOCK * 2)
+    out_ref, _, m_ref = ch.run(ch.init_state(), clip)
+    out_f, _, m_f = fused_chain_stream(ch, ch.init_state(),
+                                       jnp.asarray(clip), unroll=1)
+    assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -90.0
+    np.testing.assert_allclose(np.asarray(m_f[0]["score"]),
+                               np.asarray(m_ref[0]["score"]), atol=1e-3)
+
+
+def test_fused_mono_chain(rng):
+    """Mono (1-channel) chains: motion runs one channel pass, width is a
+    passthrough, analyzer uses l==r."""
+    ch = Chain([("punch", None), ("motion", None), ("width", None),
+                ("infer", None)], sr=SR, channels=1, block_size=BLOCK)
+    clip = make_clip(rng, 1, BLOCK * 2)
+    out_ref, _, _ = ch.run(ch.init_state(), clip)
+    out_f, _, _ = fused_chain_stream(ch, ch.init_state(), jnp.asarray(clip),
+                                     unroll=1)
+    assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -90.0
