@@ -81,3 +81,10 @@ def residual_dbfs(a, b):
     """Null-test residual in dBFS (full scale = 1.0)."""
     diff = np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))
     return -np.inf if diff == 0 else 20.0 * np.log10(diff)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight compile/oracle tests; `-m 'not slow'` is the "
+        "quick gate (<5 min on this box), the full suite is the bar")

@@ -36,6 +36,7 @@ def _clips(rng, b=3, nb=4):
         np.float32)
 
 
+@pytest.mark.slow
 def test_fused_matches_stage_major(chain, rng):
     clips = _clips(rng)
     states = jax.vmap(lambda _: chain.init_state())(jnp.arange(clips.shape[0]))
@@ -59,6 +60,7 @@ def test_fused_matches_stage_major(chain, rng):
                                        atol=5e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("material", [1.0, 2.0, 3.0])
 def test_fused_waveguide_materials_batched(material, rng):
     """Regression: wood/plastic waveguide scatter must be rank-agnostic
@@ -76,6 +78,7 @@ def test_fused_waveguide_materials_batched(material, rng):
     assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -70.0
 
 
+@pytest.mark.slow
 def test_fused_single_clip_unbatched(chain, rng):
     """Works without a batch axis too ([C, T])."""
     clip = make_clip(rng, 2, BLOCK * 3)
@@ -85,6 +88,7 @@ def test_fused_single_clip_unbatched(chain, rng):
     assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -95.0
 
 
+@pytest.mark.slow
 def test_fused_metrics_modes(chain, rng):
     clips = _clips(rng, b=2, nb=3)
     states = jax.vmap(lambda _: chain.init_state())(jnp.arange(2))
@@ -112,6 +116,7 @@ def test_fused_metrics_modes(chain, rng):
                 np.asarray(st_f[i]["analyzer"][k]), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_block_step_equals_stream(chain, rng):
     """Block-by-block fused_chain_step == one fused_chain_stream call."""
     clip = make_clip(rng, 2, BLOCK * 3)
@@ -165,6 +170,7 @@ def test_fused_chain_vs_cpp_oracle(chain, rng):
 
 @pytest.mark.parametrize("name", ["punch", "saturator", "texture", "motion",
                                   "width", "cohere", "infer"])
+@pytest.mark.slow
 def test_fused_single_stage_chains(name, rng):
     """The scheduler handles every single-stage chain (each stage type's
     pass/barrier structure alone)."""
@@ -178,6 +184,7 @@ def test_fused_single_stage_chains(name, rng):
                                np.asarray(m_ref[0]["score"]), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_mono_chain(rng):
     """Mono (1-channel) chains: motion runs one channel pass, width is a
     passthrough, analyzer uses l==r."""

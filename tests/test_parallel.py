@@ -81,6 +81,7 @@ def test_sequence_parallel_linear_scan_matches_local(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_sp_mesh_full_chain_dryrun():
     """The driver's multi-chip dry run must pass on the 8-device CPU mesh."""
     import importlib.util, pathlib
@@ -91,6 +92,7 @@ def test_dp_sp_mesh_full_chain_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_grouped_materials_match_single(rng):
     """Mixed-material corpus == per-clip runs with static materials."""
     from juicy_tpu.parallel.grouping import run_grouped
@@ -120,6 +122,7 @@ def test_entry_compiles():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_run_corpus_chain_fused():
     """run_corpus_chain (fused executor + mesh sharding) matches the
     stage-major chain and aggregates the last stage's metrics."""

@@ -188,6 +188,7 @@ def test_texture_materials_null(material, budget):
                texture=0.5, mix=1.0, output=-2.0), clip, budget_db=budget)
 
 
+@pytest.mark.slow
 def test_texture_long_ring():
     """Low damping / long tails stress the resonator numerics: the slowest
     metal modes (r ≈ 0.99974) integrate the FMA-vs-no-FMA codegen gap for
@@ -200,6 +201,7 @@ def test_texture_long_ring():
                texture=1.0, mix=1.0, output=0.0), clip, budget_db=-80.0)
 
 
+@pytest.mark.slow
 def test_texture_traced_material_matches_static():
     """Traced-material texture (one jit for mixed-material corpora) selects
     values bit-identical to the static-material branches."""

@@ -23,6 +23,7 @@ def _run(plug, params, clip):
     return np.asarray(out), state, metrics
 
 
+@pytest.mark.slow
 def test_block_size_invariance_streaming(rng):
     """Processors without block-level adaptation must be block-size
     invariant when state streams across calls (SURVEY.md §4). Width, Cohere
@@ -204,6 +205,7 @@ def test_chain_runs_and_scores(rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_batched_run_matches_per_clip(rng):
     """Batch-major streaming == per-clip streaming (same math, faster code)."""
     import jax
@@ -219,6 +221,7 @@ def test_batched_run_matches_per_clip(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_chain_batched_run_matches(rng):
     import jax
     clips = np.stack([make_clip(rng, 2, 1024) for _ in range(2)])

@@ -95,6 +95,7 @@ def test_texture_stage_kernel_materials(mode, rng):
             np.asarray(st_ref["dsp"]["waveguide"])[..., idx], atol=5e-6)
 
 
+@pytest.mark.slow
 def test_texture_kernel_streaming_blocks(rng):
     """Two consecutive kernel blocks == two scan-path blocks (state carry,
     waveguide window slide, LCG advance)."""
