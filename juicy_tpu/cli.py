@@ -270,6 +270,54 @@ def cmd_score(args):
     print(json.dumps(agg, indent=2))
 
 
+def cmd_serve(args):
+    """Multi-stream serving demo: process several WAVs as concurrent
+    realtime streams through ONE batched chain (runtime/serve.py) — the
+    topology that sustains thousands of live streams per chip."""
+    import time
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.serve import StreamServer
+    from juicy_tpu.runtime.stream import pad_to_blocks
+    from juicy_tpu.runtime.wav import read_wav, write_wav
+    import jax.numpy as jnp
+
+    stages = [(nm, None) for nm in args.stages.split(",")]
+    inputs = args.inputs
+    clips, srs = [], []
+    for path in inputs:
+        audio, sr = read_wav(path)
+        clips.append(audio)
+        srs.append(sr)
+    sr = srs[0]
+    chain = Chain(stages, sr=sr, channels=clips[0].shape[0],
+                  block_size=args.block)
+    server = StreamServer(chain, max_streams=max(4, len(inputs)))
+    sids = [server.open_stream() for _ in inputs]
+    padded = [pad_to_blocks(jnp.asarray(c), args.block)[0] for c in clips]
+    n_blocks = [p.shape[-1] // args.block for p in padded]
+    outs = {sid: [] for sid in sids}
+    t0 = time.perf_counter()
+    ticks = 0
+    for k in range(max(n_blocks)):
+        for sid, pad, nb in zip(sids, padded, n_blocks):
+            if k < nb:
+                server.submit(sid, np.asarray(
+                    pad[..., k * args.block:(k + 1) * args.block]))
+        for sid, res in server.tick().items():
+            outs[sid].append(res["audio"])
+        ticks += 1
+    wall = time.perf_counter() - t0
+    for i, (sid, path) in enumerate(zip(sids, inputs)):
+        out = np.concatenate(outs[sid], axis=-1)[..., :clips[i].shape[-1]]
+        dest = args.out_prefix + f"{i}.wav"
+        write_wav(dest, out, sr)
+        print(f"stream {i}: {path} -> {dest}")
+    audio_sec = sum(c.shape[-1] for c in clips) / sr
+    print(f"served {len(inputs)} streams, {audio_sec:.1f} audio-sec in "
+          f"{wall:.2f}s ({audio_sec / wall:.1f}x realtime aggregate, "
+          f"{ticks} ticks)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="juicy_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -310,9 +358,15 @@ def main(argv=None):
                    help="comma-separated processor names")
     p.add_argument("--block", type=int, default=512)
 
+    p = sub.add_parser("serve", help="batched multi-stream serving demo")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--stages", default="punch,saturator,infer")
+    p.add_argument("--block", type=int, default=512)
+    p.add_argument("--out-prefix", default="served_")
+
     args = ap.parse_args(argv)
     {"list": cmd_list, "process": cmd_process, "chain": cmd_chain,
-     "score": cmd_score}[args.cmd](args)
+     "score": cmd_score, "serve": cmd_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":
