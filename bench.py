@@ -147,7 +147,7 @@ def bench_stage_kernel(name, material=None, batch=BATCH, iters=3):
     step_fn = {"punch": sk.punch_stage_step,
                "saturator": sk.saturator_stage_step,
                "texture": sk.texture_stage_step}[name]
-    unroll = 16 if name == "punch" else 8
+    unroll = 8
     nb = NUM_BLOCKS
 
     @jax.jit
