@@ -146,6 +146,7 @@ def bench_stage_kernel(name, material=None, batch=BATCH, iters=3):
                       states["dsp"], SR, int(material or 0))}
     step_fn = {"punch": sk.punch_stage_step,
                "saturator": sk.saturator_stage_step,
+               "motion": sk.motion_stage_step,
                "texture": sk.texture_stage_step}[name]
     unroll = 8
     nb = NUM_BLOCKS
@@ -306,6 +307,7 @@ def main():
 
     kernel_jobs = [("punch_kernel", "punch", None),
                    ("saturator_kernel", "saturator", None),
+                   ("motion_kernel", "motion", None),
                    ("texture_kernel_gel", "texture", 0),
                    ("texture_kernel_metal", "texture", 1),
                    ("texture_kernel_wood", "texture", 2)]

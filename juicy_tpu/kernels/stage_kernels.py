@@ -1026,3 +1026,278 @@ def saturator_stage_step(params, state, block, sr: float, unroll: int = 8,
     (tone_f,) = tiles_to_state(dsp_f, bsz, c, 1)
     return out_bcn, {"analyzer": post_state,
                      "dsp": {"tone_state": tone_f}}, m
+
+
+# ---------------------------------------------------------------------------
+# Motion full-stage kernel: pass 1 (onset/RNG) + pass 2 per channel
+# (channel-serial shared state) + both analyzer lanes — five sequential
+# loops in ONE pallas_call (the XLA path runs five separate scans).
+# Reuses motion.make_p1_step / make_p2_step verbatim for the bodies.
+# ---------------------------------------------------------------------------
+
+def _motion_kernel(n, c, unroll, sr, params_ref, x_ref, mono_ref, chan_ref,
+                   rng_ref, lane_ref,
+                   out_ref, mono_out_ref, chan_out_ref, rng_out_ref,
+                   tgt_out_ref, pre_fin_ref, pre_acc_ref, post_fin_ref,
+                   post_acc_ref, *ch_scratch):
+    from juicy_tpu.models import motion as _motion
+
+    csub = _csub(c)
+    lane_k = tuple(params_ref[0, i] for i in range(7))
+    micro_var = params_ref[0, 7]
+    repeat_ctrl = params_ref[0, 8]
+    kc = {key: params_ref[0, 9 + i] for i, key in enumerate(
+        ("var_slew", "motion_inc", "lfo_depth", "depth", "micro_var",
+         "tail_feedback", "mix", "out_gain", "budget_coeff",
+         "budget_target"))}
+
+    # mono state rows: env, repetition, budget_env, vt, vtr, vtl,
+    #                  vt_t, vtr_t, vtl_t, phase, cooldown(f32)
+    ms = [mono_ref[i * MSUB:(i + 1) * MSUB, :] for i in range(11)]
+    (env0, rep0, be0, vt0, vtr0, vtl0, vtt0, vtrt0, vtlt0, phase0, cd0) = ms
+    rng0 = rng_ref[...]
+    lane = _lane_from_ref(lane_ref)
+
+    def split(s):
+        l = s[0:MSUB, :]
+        r = s[MSUB:2 * MSUB, :] if c > 1 else l
+        return l, r
+
+    # ---- loop 1: pre-lane + pass 1 (cpp:75-95) ----
+    # pass-1 cooldown is int in the scan path; tracked as f32 rows here.
+    # The body below mirrors motion.make_p1_step exactly (f32 counter aside).
+    cd_samples = jnp.float32(int(sr * 0.04))
+    one = jnp.float32(1.0)
+    tau15 = params_ref[0, 19]            # tau_coeff(0.015, sr)
+
+    def p1_body(carry, x):
+        env, cooldown, repetition, rng, vt, vtr, vtl = carry
+        env = tau15 * env + (one - tau15) * x
+        cooldown = jnp.maximum(cooldown - one, jnp.float32(0.0))
+        onset = (x > env * jnp.float32(1.35) + jnp.float32(0.02)) & \
+            (cooldown <= jnp.float32(0.0))
+        cooldown = jnp.where(onset, cd_samples, cooldown)
+        repetition = jnp.where(onset, repetition + one, repetition)
+        r1 = rng * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        r2 = r1 * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        r3 = r2 * jnp.uint32(1664525) + jnp.uint32(1013904223)
+
+        def draw(r, shift):
+            bits = (r >> jnp.uint32(shift)) & jnp.uint32(0x7FFF)
+            return bits.astype(jnp.int32).astype(jnp.float32) \
+                * jnp.float32(1.0 / 16384.0) - one
+
+        vt = jnp.where(onset, draw(r1, 7) * micro_var * jnp.float32(0.9), vt)
+        vtr = jnp.where(onset, draw(r2, 9) * micro_var * jnp.float32(0.8), vtr)
+        vtl = jnp.where(onset, draw(r3, 11) * micro_var * jnp.float32(0.8),
+                        vtl)
+        rng = jnp.where(onset, r3, rng)
+        repetition = repetition * jnp.float32(0.997)
+        return (env, cooldown, repetition, rng, vt, vtr, vtl)
+
+    def loop1(t, carry):
+        p1c, lane = carry
+        base = pl.multiple_of(t * unroll * csub, 8)
+        chunk = x_ref[pl.ds(base, unroll * csub), :]
+        for u in range(unroll):
+            d = chunk[u * csub:(u + 1) * csub, :]
+            l, r = split(d)
+            lane = _lane_step(lane, l, r, lane_k)
+            mono = jnp.float32(0.5) * (l + r)
+            p1c = p1_body(p1c, jnp.abs(mono))
+        return p1c, lane
+
+    p1c0 = (env0, cd0, rep0, rng0, vtt0, vtrt0, vtlt0)
+    p1c, lane = jax.lax.fori_loop(0, n // unroll, loop1, (p1c0, lane))
+    env_f, cd_f, rep_f, rng_f, vtt_f, vtrt_f, vtlt_f = p1c
+    _store_lane(lane, pre_fin_ref, pre_acc_ref)
+
+    # block-level scales (cpp:97-99)
+    rep_norm = jnp.clip(rep_f * jnp.float32(0.08), jnp.float32(0.0), one)
+    repetition_scale = one - repeat_ctrl * rep_norm * jnp.float32(0.65)
+    recovery = one + repeat_ctrl * (one - rep_norm) * jnp.float32(0.25)
+
+    from juicy_tpu.models.motion import make_p2_step
+    shared = (vt0, vtr0, vtl0, phase0)
+    be = be0
+    for ch in range(c):
+        off = jnp.float32(0.0) if ch == 0 else jnp.float32(0.85)
+        p2 = make_p2_step(kc, (vtt_f, vtrt_f, vtlt_f),
+                          (repetition_scale, recovery), off, sr)
+        lp = chan_ref[(0 * c + ch) * MSUB:(0 * c + ch + 1) * MSUB, :]
+        tail = chan_ref[(1 * c + ch) * MSUB:(1 * c + ch + 1) * MSUB, :]
+        prev = chan_ref[(2 * c + ch) * MSUB:(2 * c + ch + 1) * MSUB, :]
+        carry0 = shared[:3] + (shared[3], lp, tail, prev, be)
+
+        def loop2(t, carry, ch=ch, p2=p2):
+            base = pl.multiple_of(t * unroll * csub, 8)
+            chunk = x_ref[pl.ds(base, unroll * csub), :]
+            ys = []
+            for u in range(unroll):
+                d = chunk[u * csub + ch * MSUB:u * csub + (ch + 1) * MSUB, :]
+                carry, y = p2(carry, d)
+                ys.append(y)
+            # per-channel scratch keeps dynamic stores 8-row aligned
+            # (interleaved per-sample offsets would sit at 4 mod 8); only
+            # claim alignment when the chunk stride actually provides it
+            sbase = t * unroll * MSUB
+            if (unroll * MSUB) % 8 == 0:
+                sbase = pl.multiple_of(sbase, 8)
+            ch_scratch[ch][pl.ds(sbase, unroll * MSUB), :] = \
+                jnp.concatenate(ys, axis=0)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n // unroll, loop2, carry0)
+        vt_s, vtr_s, vtl_s, phase_s, lp_f, tail_f, prev_f, be = \
+            carry[0], carry[1], carry[2], carry[3], carry[4], carry[5], \
+            carry[6], carry[7]
+        shared = (vt_s, vtr_s, vtl_s, phase_s)
+        chan_out_ref[(0 * c + ch) * MSUB:(0 * c + ch + 1) * MSUB, :] = lp_f
+        chan_out_ref[(1 * c + ch) * MSUB:(1 * c + ch + 1) * MSUB, :] = tail_f
+        chan_out_ref[(2 * c + ch) * MSUB:(2 * c + ch + 1) * MSUB, :] = prev_f
+
+    # merge the per-channel scratches into interleaved sample tiles
+    merge_u = max(1, 8 // MSUB)
+
+    def merge(t, _):
+        base = pl.multiple_of(t * merge_u * MSUB, 8)
+        obase = pl.multiple_of(t * merge_u * csub, 8)
+        chunks = [ch_scratch[ch][pl.ds(base, merge_u * MSUB), :]
+                  for ch in range(c)]
+        rows = []
+        for u in range(merge_u):
+            for ch in range(c):
+                rows.append(chunks[ch][u * MSUB:(u + 1) * MSUB, :])
+        out_ref[pl.ds(obase, merge_u * csub), :] = jnp.concatenate(rows, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n // merge_u, merge, 0)
+
+    # mono state out
+    outs = [env_f, rep_f, be, shared[0], shared[1], shared[2],
+            vtt_f, vtrt_f, vtlt_f, shared[3], cd_f]
+    for i, v in enumerate(outs):
+        mono_out_ref[i * MSUB:(i + 1) * MSUB, :] = v
+    rng_out_ref[...] = rng_f
+    tgt_out_ref[...] = vtt_f  # placeholder row (targets already in mono out)
+
+    # ---- post lane over the rendered output ----
+    lane2 = _lane_reset(lane)
+
+    def loop4(t, lane2):
+        base = pl.multiple_of(t * unroll * csub, 8)
+        chunk = out_ref[pl.ds(base, unroll * csub), :]
+        for u in range(unroll):
+            l, r = split(chunk[u * csub:(u + 1) * csub, :])
+            lane2 = _lane_step(lane2, l, r, lane_k)
+        return lane2
+
+    lane2 = jax.lax.fori_loop(0, n // unroll, loop4, lane2)
+    _store_lane(lane2, post_fin_ref, post_acc_ref)
+
+
+def motion_stage_step(params, state, block, sr: float, unroll: int = 8,
+                      interpret: bool = False):
+    """Full motion step (pre-analyze → pass1 → pass2 ch-serial →
+    post-analyze) as one kernel. Same contract as punch_stage_step."""
+    from juicy_tpu.models import motion as _motion
+    from juicy_tpu.utils.convert import tau_coeff
+
+    block = jnp.asarray(block, jnp.float32)
+    bsz, c, n = block.shape
+    if bsz % TILE:
+        raise ValueError(f"batch {bsz} must be a multiple of {TILE}")
+    csub = _csub(c)
+    dsp = state["dsp"]
+
+    kc = _motion.p2_consts(params, sr)
+    pvec = jnp.stack([*_lane_consts(sr),
+                      jnp.asarray(params["microvar"], jnp.float32),
+                      jnp.asarray(params["repeatctrl"], jnp.float32),
+                      kc["var_slew"], kc["motion_inc"], kc["lfo_depth"],
+                      kc["depth"], kc["micro_var"], kc["tail_feedback"],
+                      kc["mix"], kc["out_gain"], kc["budget_coeff"],
+                      kc["budget_target"],
+                      tau_coeff(0.015, sr)])[None]
+
+    x = to_stream(block)
+    b = bsz
+    mono_leaves = [jnp.broadcast_to(jnp.asarray(dsp[k], jnp.float32), (b,))
+                   for k in ("env", "repetition", "budget_env",
+                             "variation_tone", "variation_transient",
+                             "variation_tail", "variation_tone_target",
+                             "variation_transient_target",
+                             "variation_tail_target", "motion_phase")]
+    mono_leaves.append(jnp.broadcast_to(
+        jnp.asarray(dsp["onset_cooldown"]).astype(jnp.float32), (b,)))
+    mono0 = mono_to_tiles(mono_leaves)
+    chan0 = state_to_tiles([dsp["lp"], dsp["tail"], dsp["prev"]])
+    rng0 = _u32_to_tiles(jnp.broadcast_to(jnp.asarray(dsp["rng"], jnp.uint32),
+                                          (b,)))
+    lane0 = pack_lane(state["analyzer"], bsz)
+    grid = bsz // TILE
+
+    def wrapped(params_ref, x_ref, mono_ref, chan_ref, rng_ref, lane_ref,
+                out_ref, mono_out_ref, chan_out_ref, rng_out_ref,
+                tgt_out_ref, pre_fin_ref, pre_acc_ref, post_fin_ref,
+                post_acc_ref, *scratches):
+        _motion_kernel(n, c, unroll, sr, params_ref,
+                       x_ref.at[0], mono_ref.at[0], chan_ref.at[0],
+                       rng_ref.at[0], lane_ref.at[0],
+                       out_ref.at[0], mono_out_ref.at[0], chan_out_ref.at[0],
+                       rng_out_ref.at[0], tgt_out_ref.at[0],
+                       pre_fin_ref.at[0], pre_acc_ref.at[0],
+                       post_fin_ref.at[0], post_acc_ref.at[0], *scratches)
+
+    out, mono_f, chan_f, rng_f, _tgt, pre_fin, pre_acc, post_fin, post_acc = \
+        pl.pallas_call(
+            wrapped,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, pvec.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                _tilespec(n * csub), _tilespec(11 * MSUB),
+                _tilespec(3 * csub), _tilespec(MSUB), _tilespec(5 * MSUB),
+            ],
+            out_specs=[
+                _tilespec(n * csub), _tilespec(11 * MSUB),
+                _tilespec(3 * csub), _tilespec(MSUB), _tilespec(MSUB),
+                _tilespec(5 * MSUB), _tilespec(10 * MSUB),
+                _tilespec(5 * MSUB), _tilespec(10 * MSUB),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((grid, n * csub, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 11 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 3 * csub, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, MSUB, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((grid, MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 5 * MSUB, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((grid, 10 * MSUB, LANES), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((n * MSUB, LANES), jnp.float32)
+                            for _ in range(c)],
+            interpret=interpret,
+        )(pvec, x, mono0, chan0, rng0, lane0)
+
+    out_bcn = from_stream(out, bsz, c)
+    post_state, m, _pre = metrics_from_lanes(pre_fin, pre_acc, post_fin,
+                                             post_acc, state["analyzer"],
+                                             bsz, n, sr)
+    mono_out = tiles_to_mono(mono_f, bsz, 11)
+    lp_f, tail_f, prev_f = tiles_to_state(chan_f, bsz, c, 3)
+    new_dsp = {
+        "env": mono_out[0], "repetition": mono_out[1],
+        "budget_env": mono_out[2],
+        "variation_tone": mono_out[3], "variation_transient": mono_out[4],
+        "variation_tail": mono_out[5],
+        "variation_tone_target": mono_out[6],
+        "variation_transient_target": mono_out[7],
+        "variation_tail_target": mono_out[8],
+        "motion_phase": mono_out[9],
+        "onset_cooldown": mono_out[10].astype(jnp.int32),
+        "rng": tiles_to_mono(rng_f, bsz, 1)[0],
+        "lp": lp_f, "tail": tail_f, "prev": prev_f,
+    }
+    return out_bcn, {"analyzer": post_state, "dsp": new_dsp}, m

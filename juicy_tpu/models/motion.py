@@ -160,6 +160,10 @@ def make_p2_step(consts, targets, scales, ch_offset, sr):
     vt_t, vtr_t, vtl_t = targets
     repetition_scale, recovery = scales
     one = jnp.float32(1.0)
+    # local literals (module-level jnp constants would be captured device
+    # arrays, which Pallas kernels reject); bit-identical values
+    two_pi = jnp.float32(2.0 * 3.14159265358979323846)
+    four_pi = jnp.float32(4.0 * 3.14159265358979323846)
 
     def step(c, d):
         vt, vtr, vtl, phase, lp, tail, prev, be = c
@@ -167,7 +171,7 @@ def make_p2_step(consts, targets, scales, ch_offset, sr):
         vtr = var_slew * vtr + (one - var_slew) * vtr_t
         vtl = var_slew * vtl + (one - var_slew) * vtl_t
         phase = phase + motion_inc
-        phase = jnp.where(phase > TWO_PI, phase - FOUR_PI, phase)
+        phase = jnp.where(phase > two_pi, phase - four_pi, phase)
 
         lfo = sin32(phase + ch_offset)
         cutoff = jlimit(120.0, 4200.0,

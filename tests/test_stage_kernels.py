@@ -143,3 +143,27 @@ def test_saturator_stage_kernel(rng):
     assert residual_dbfs(np.asarray(out_k), np.asarray(out_ref)) <= -110.0
     assert float(np.max(np.abs(np.asarray(m_k["score"])
                                - np.asarray(m_ref["score"])))) <= 1e-3
+
+
+def test_motion_stage_kernel(rng):
+    """p1 + channel-serial p2 + both lanes in one kernel, bit-exact vs the
+    five-scan XLA path (incl. the uint32 RNG and shared-state threading)."""
+    b, n = 128, 64
+    plug = Plugin("motion", SR, 2, n)
+    params = plug.default_params()
+    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
+    blocks = _blocks(rng, b, n)
+    out_ref, st_ref, m_ref = plug.batch_step(params, states,
+                                             jnp.asarray(blocks))
+    out_k, st_k, m_k = sk.motion_stage_step(
+        plug.full_params(params), states, jnp.asarray(blocks), SR,
+        unroll=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                               atol=2e-6)
+    for k in ("motion_phase", "budget_env", "repetition", "rng",
+              "onset_cooldown", "tail", "lp", "prev"):
+        np.testing.assert_allclose(
+            np.asarray(st_k["dsp"][k], np.float64),
+            np.asarray(st_ref["dsp"][k], np.float64), atol=2e-6)
+    assert float(np.max(np.abs(np.asarray(m_k["score"])
+                               - np.asarray(m_ref["score"])))) <= 1e-3
