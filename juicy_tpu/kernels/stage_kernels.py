@@ -426,64 +426,47 @@ def _mat_state_keys(mode: int):
     return None   # modal materials handled separately
 
 
-def _texture_kernel(mode, n, c, unroll, H, L, sr,
-                    params_ref, lcg_a_ref, lcg_b_ref,
-                    x_ref, rng_ref, dsp_ref, lane_ref, mat_ref, hist_ref,
-                    out_ref, dsp_out_ref, mat_out_ref, newhist_ref,
-                    pre_fin_ref, pre_acc_ref, post_fin_ref, post_acc_ref,
-                    window_ref, dma_sem):
-    csub = _csub(c)
-    wave = mode in (2, 3)
-    P = [0]
-
-    def nextp(k=1):
-        vals = tuple(params_ref[0, P[0] + i] for i in range(k))
-        P[0] += k
-        return vals if k > 1 else vals[0]
-
-    lane_k = tuple(nextp(7))
+def tex_unpack(nextp, mode: int):
+    """Read the texture constants (everything after the 7 lane consts) from
+    an SMEM cursor. Returns (kc, mc): the _TEX_COMMON dict and the
+    mode-specific consts dict. Shared by the texture stage kernel and the
+    multi-stage chain kernel (chain_kernel.py)."""
     kc = {key: nextp() for key in _TEX_COMMON}
-    one = jnp.float32(1.0)
     nm = _TEX_NMODES
-
+    mc = {}
     if mode == 0:
-        omega, kspring = nextp(2)
+        mc["omega"], mc["kspring"] = nextp(2)
     elif mode == 1:
-        freqs = nextp(nm)          # f0 * ratios
-        rs = nextp(nm)             # pole radii (constant: t60s static)
-        a2s = nextp(nm)
-        gains = nextp(nm)
-        hz_cap = nextp()
-        sr_f = nextp()
-    elif wave:
-        a1s = nextp(nm)
-        a2s = nextp(nm)
-        gains = nextp(nm)
-        delay = nextp()
-        damp = nextp()
-        wg_m0, wg_m1 = nextp(2)
-        exc_s0, exc_s1 = nextp(2)
-        exc_b0, exc_b1 = nextp(2)  # wood: (0.09, 0.04); plastic: (0.14, 0)
-        om0, om1, om2, om3, om4 = nextp(5)
-        widx0_f = nextp()
+        mc["freqs"] = nextp(nm)    # f0 * ratios
+        mc["rs"] = nextp(nm)       # pole radii (constant: t60s static)
+        mc["a2s"] = nextp(nm)
+        mc["gains"] = nextp(nm)
+        mc["hz_cap"] = nextp()
+        mc["sr_f"] = nextp()
+    elif mode in (2, 3):
+        mc["a1s"] = nextp(nm)
+        mc["a2s"] = nextp(nm)
+        mc["gains"] = nextp(nm)
+        mc["delay"] = nextp()
+        mc["damp"] = nextp()
+        mc["wg_m0"], mc["wg_m1"] = nextp(2)
+        mc["exc_s0"], mc["exc_s1"] = nextp(2)
+        # wood: (0.09, 0.04); plastic: (0.14, 0)
+        mc["exc_b0"], mc["exc_b1"] = nextp(2)
+        (mc["om0"], mc["om1"], mc["om2"], mc["om3"],
+         mc["om4"]) = nextp(5)
+        mc["widx0_f"] = nextp()
     else:
-        k_a, k_b, c_a, c_b, k_couple = nextp(5)
+        (mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"],
+         mc["k_couple"]) = nextp(5)
+    return kc, mc
 
-    g = pl.program_id(0)
-    if wave:
-        cp = pltpu.make_async_copy(hist_ref.at[g],
-                                   window_ref.at[pl.ds(0, H * csub), :],
-                                   dma_sem)
-        cp.start()
-        cp.wait()
-        widx0 = widx0_f.astype(jnp.int32)
 
-    (env0, lp0, hp0, nhp0, tail0, wet0, dcin0, dcout0, pg0) = [
-        dsp_ref[i * csub:(i + 1) * csub, :] for i in range(9)]
-    lane = _lane_from_ref(lane_ref)
-    nmat = mat_ref.shape[0] // csub
-    mat = [mat_ref[i * csub:(i + 1) * csub, :] for i in range(nmat)]
-    rng_rows = rng_ref[...]            # [MSUB, 128] uint32 per-clip states
+def make_white_at(lcg_a_ref, lcg_b_ref, rng_rows, c: int, n: int):
+    """In-kernel LCG roughness noise: per-sample jump coefficients (SMEM
+    tables) applied to the per-clip states — bit-identical to the serial C++
+    draws (ch0 takes draws 1..N, ch1 takes N+1..2N)."""
+    one = jnp.float32(1.0)
 
     def white_at(t):
         """Roughness draws for sample t, both channels ([CSUB, 128])."""
@@ -497,6 +480,39 @@ def _texture_kernel(mode, n, c, unroll, H, L, sr,
             halves.append(bits.astype(jnp.int32).astype(jnp.float32)
                           * jnp.float32(1.0 / 32768.0) - one)
         return jnp.concatenate(halves, axis=0)
+
+    return white_at
+
+
+def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
+    """Build the in-kernel texture per-sample body.
+
+    Returns ``tex_sample(d, w, st, t) -> (y, st')`` where st is the 10-tuple
+    (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, protect_gain, mat)
+    of [CSUB, 128] tiles (mat = material-state list). Formulas/order
+    identical to texture.make_sample_step (JuicyTexture cpp:107-277).
+    `window_ref` is the VMEM sliding waveguide window (wave modes only)."""
+    csub = _csub(c)
+    wave = mode in (2, 3)
+    one = jnp.float32(1.0)
+    nm = _TEX_NMODES
+    if wave:
+        widx0 = mc["widx0_f"].astype(jnp.int32)
+        delay, damp = mc["delay"], mc["damp"]
+        wg_m0, wg_m1 = mc["wg_m0"], mc["wg_m1"]
+        exc_s0, exc_s1 = mc["exc_s0"], mc["exc_s1"]
+        exc_b0, exc_b1 = mc["exc_b0"], mc["exc_b1"]
+        om0, om1, om2, om3, om4 = (mc["om0"], mc["om1"], mc["om2"],
+                                   mc["om3"], mc["om4"])
+        a1s, a2s, gains = mc["a1s"], mc["a2s"], mc["gains"]
+    elif mode == 0:
+        omega, kspring = mc["omega"], mc["kspring"]
+    elif mode == 1:
+        freqs, rs, a2s = mc["freqs"], mc["rs"], mc["a2s"]
+        gains, hz_cap, sr_f = mc["gains"], mc["hz_cap"], mc["sr_f"]
+    else:
+        k_a, k_b = mc["k_a"], mc["k_b"]
+        c_a, c_b, k_couple = mc["c_a"], mc["c_b"], mc["k_couple"]
 
     def mat_step(mat, core, impact, body, trail, hp_state, t):
         if mode == 0:    # gel (cpp:137-151)
@@ -585,11 +601,6 @@ def _texture_kernel(mode, n, c, unroll, H, L, sr,
                              + jnp.float32(0.16) * kc["texture"]))
         return shaped, [pa, va, pb, vb]
 
-    def split(s):
-        l = s[0:MSUB, :]
-        r = s[MSUB:2 * MSUB, :] if c > 1 else l
-        return l, r
-
     def tex_sample(d, w, st, t):
         """The full C++ inner loop (cpp:107-277), identical formulas/order to
         texture.make_sample_step."""
@@ -652,6 +663,48 @@ def _texture_kernel(mode, n, c, unroll, H, L, sr,
         y = jnp.clip(o, jnp.float32(-0.98), jnp.float32(0.98))
         return y, (env, lp, hp, noise_hp, tail, wet_env, dc_in, dc_out, pg,
                    mat)
+
+    return tex_sample
+
+
+def _texture_kernel(mode, n, c, unroll, H, L, sr,
+                    params_ref, lcg_a_ref, lcg_b_ref,
+                    x_ref, rng_ref, dsp_ref, lane_ref, mat_ref, hist_ref,
+                    out_ref, dsp_out_ref, mat_out_ref, newhist_ref,
+                    pre_fin_ref, pre_acc_ref, post_fin_ref, post_acc_ref,
+                    window_ref, dma_sem):
+    csub = _csub(c)
+    wave = mode in (2, 3)
+    P = [0]
+
+    def nextp(k=1):
+        vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+        P[0] += k
+        return vals if k > 1 else vals[0]
+
+    lane_k = tuple(nextp(7))
+    kc, mc = tex_unpack(nextp, mode)
+
+    g = pl.program_id(0)
+    if wave:
+        cp = pltpu.make_async_copy(hist_ref.at[g],
+                                   window_ref.at[pl.ds(0, H * csub), :],
+                                   dma_sem)
+        cp.start()
+        cp.wait()
+
+    (env0, lp0, hp0, nhp0, tail0, wet0, dcin0, dcout0, pg0) = [
+        dsp_ref[i * csub:(i + 1) * csub, :] for i in range(9)]
+    lane = _lane_from_ref(lane_ref)
+    nmat = mat_ref.shape[0] // csub
+    mat = [mat_ref[i * csub:(i + 1) * csub, :] for i in range(nmat)]
+    white_at = make_white_at(lcg_a_ref, lcg_b_ref, rng_ref[...], c, n)
+    tex_sample = make_tex_sample(mode, kc, mc, c, window_ref, H, L)
+
+    def split(s):
+        l = s[0:MSUB, :]
+        r = s[MSUB:2 * MSUB, :] if c > 1 else l
+        return l, r
 
     def body_fn(tt, carry):
         st, lane = carry
@@ -734,33 +787,19 @@ def texture_ring_state(state, sr: float, mode: int, L: int):
     return st
 
 
-def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
-                       interpret: bool = False):
-    """Full texture step (pre-analyze → DSP → post-analyze) as one kernel.
+_TEX_DSP_KEYS = ("env", "lp", "hp", "noise_hp", "tail", "wet_env",
+                 "dc_in", "dc_out", "protect_gain")
 
-    `block`: [B, C, N]; `state` as from vmap(plugin.init_state) but with the
-    waveguide in kernel (history-window) form — see texture_kernel_state.
-    Returns (out, new_state, metrics).
-    """
+
+def tex_param_list(params, dsp, sr: float, mode: int):
+    """Texture kernel scalar constants (everything after the 7 lane consts),
+    in the exact order tex_unpack reads them. `dsp` supplies the waveguide
+    write index for wave modes."""
     from juicy_tpu.models import texture as _tex
-    from juicy_tpu.ops.noise import _jump_coefficients, lcg_advance
     import numpy as np
 
-    block = jnp.asarray(block, jnp.float32)
-    bsz, c, n = block.shape
-    if bsz % TILE:
-        raise ValueError(f"batch {bsz} must be a multiple of {TILE}")
-    csub = _csub(c)
-    mode = _tex.static_material(params)
-    if mode is None:
-        raise NotImplementedError("texture kernel needs a static material")
-    mode = max(0, min(4, mode))
     wave = mode in (2, 3)
     L = _tex.waveguide_size(sr)
-    H = _tex_hist_len(mode, sr) if wave else 0
-    nm = _TEX_NMODES
-
-    dsp = state["dsp"]
     kc, _extract, _mstep, _pack = _tex.block_consts(params, sr, mode, L)
     mp = dict(texture=kc["texture"], tailshape=kc["tail_shape"],
               damping_amt=None, damping_mul=None, weight=None)
@@ -773,7 +812,7 @@ def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
               weight=jnp.asarray(params["weight"], jnp.float32))
     mc = _tex.material_consts(mode, mp, sr, L)
 
-    pv = [*_lane_consts(sr)] + [kc[k] for k in _TEX_COMMON]
+    pv = [kc[k] for k in _TEX_COMMON]
     if mode == 0:
         pv += [mc["omega"], mc["k"]]
     elif mode == 1:
@@ -793,7 +832,83 @@ def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
                *mc["out_mix"], widx0.astype(jnp.float32)]
     else:
         pv += [mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"], mc["k_couple"]]
-    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+    return pv
+
+
+def tex_mat_leaves(dsp, mode: int):
+    """Material-state leaves ([B, C] each) in kernel mat-tile order."""
+    nm = _TEX_NMODES
+    if mode == 0:
+        return [dsp["spring_pos"], dsp["spring_vel"]]
+    if mode == 1:
+        return [dsp["modal_y1"][..., k] for k in range(nm)] + \
+               [dsp["modal_y2"][..., k] for k in range(nm)]
+    if mode in (2, 3):
+        return [dsp["modal_y1"][..., k] for k in range(nm)] + \
+               [dsp["modal_y2"][..., k] for k in range(nm)] + \
+               [dsp["prev_wave"]]
+    return [dsp["flesh_pos_a"], dsp["flesh_vel_a"],
+            dsp["flesh_pos_b"], dsp["flesh_vel_b"]]
+
+
+def tex_rebuild_dsp(dsp, dsp_leaves, mat_out, mode: int, newhist, bsz: int,
+                    c: int, n: int, sr: float):
+    """Assemble the new texture dsp-state dict from kernel output leaves.
+    The LCG advances by the closed-form jump (draw count is static)."""
+    from juicy_tpu.models import texture as _tex
+    from juicy_tpu.ops.noise import lcg_advance
+
+    nm = _TEX_NMODES
+    new_dsp = dict(dsp)
+    for key, v in zip(_TEX_DSP_KEYS, dsp_leaves):
+        new_dsp[key] = v
+    if mode == 0:
+        new_dsp["spring_pos"], new_dsp["spring_vel"] = mat_out
+    elif mode == 1:
+        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
+        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:], axis=-1)
+    elif mode in (2, 3):
+        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
+        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:2 * nm], axis=-1)
+        new_dsp["prev_wave"] = mat_out[2 * nm]
+        new_dsp["waveguide"] = from_stream(newhist, bsz, c)
+        new_dsp["wave_idx"] = jnp.mod(dsp["wave_idx"] + n,
+                                      _tex.waveguide_size(sr))
+    else:
+        (new_dsp["flesh_pos_a"], new_dsp["flesh_vel_a"],
+         new_dsp["flesh_pos_b"], new_dsp["flesh_vel_b"]) = mat_out
+    new_dsp["rng"] = lcg_advance(dsp["rng"], c * n)
+    return new_dsp
+
+
+def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
+                       interpret: bool = False):
+    """Full texture step (pre-analyze → DSP → post-analyze) as one kernel.
+
+    `block`: [B, C, N]; `state` as from vmap(plugin.init_state) but with the
+    waveguide in kernel (history-window) form — see texture_kernel_state.
+    Returns (out, new_state, metrics).
+    """
+    from juicy_tpu.models import texture as _tex
+    from juicy_tpu.ops.noise import _jump_coefficients
+
+    block = jnp.asarray(block, jnp.float32)
+    bsz, c, n = block.shape
+    if bsz % TILE:
+        raise ValueError(f"batch {bsz} must be a multiple of {TILE}")
+    csub = _csub(c)
+    mode = _tex.static_material(params)
+    if mode is None:
+        raise NotImplementedError("texture kernel needs a static material")
+    mode = max(0, min(4, mode))
+    wave = mode in (2, 3)
+    L = _tex.waveguide_size(sr)
+    H = _tex_hist_len(mode, sr) if wave else 0
+
+    dsp = state["dsp"]
+    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in
+                      [*_lane_consts(sr),
+                       *tex_param_list(params, dsp, sr, mode)]])[None]
 
     a_np, b_np = _jump_coefficients(c * n)
     lcg_a = jnp.asarray(a_np)[None]
@@ -801,23 +916,10 @@ def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
 
     x = to_stream(block)
     rng_t = _u32_to_tiles(jnp.asarray(dsp["rng"], jnp.uint32))
-    dsp_rows = state_to_tiles([dsp[k] for k in
-                               ("env", "lp", "hp", "noise_hp", "tail",
-                                "wet_env", "dc_in", "dc_out", "protect_gain")])
+    dsp_rows = state_to_tiles([dsp[k] for k in _TEX_DSP_KEYS])
     lane0 = pack_lane(state["analyzer"], bsz)
 
-    if mode == 0:
-        mat_leaves = [dsp["spring_pos"], dsp["spring_vel"]]
-    elif mode == 1:
-        mat_leaves = [dsp["modal_y1"][..., k] for k in range(nm)] + \
-                     [dsp["modal_y2"][..., k] for k in range(nm)]
-    elif wave:
-        mat_leaves = [dsp["modal_y1"][..., k] for k in range(nm)] + \
-                     [dsp["modal_y2"][..., k] for k in range(nm)] + \
-                     [dsp["prev_wave"]]
-    else:
-        mat_leaves = [dsp["flesh_pos_a"], dsp["flesh_vel_a"],
-                      dsp["flesh_pos_b"], dsp["flesh_vel_b"]]
+    mat_leaves = tex_mat_leaves(dsp, mode)
     mat0 = state_to_tiles(mat_leaves)
     nmat = len(mat_leaves)
 
@@ -884,26 +986,9 @@ def texture_stage_step(params, state, block, sr: float, unroll: int = 8,
                                              post_acc, state["analyzer"],
                                              bsz, n, sr)
     dsp_leaves = tiles_to_state(dsp_f, bsz, c, 9)
-    new_dsp = dict(dsp)
-    for key, v in zip(("env", "lp", "hp", "noise_hp", "tail", "wet_env",
-                       "dc_in", "dc_out", "protect_gain"), dsp_leaves):
-        new_dsp[key] = v
     mat_out = tiles_to_state(mat_f, bsz, c, nmat)
-    if mode == 0:
-        new_dsp["spring_pos"], new_dsp["spring_vel"] = mat_out
-    elif mode == 1:
-        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
-        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:], axis=-1)
-    elif wave:
-        new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
-        new_dsp["modal_y2"] = jnp.stack(mat_out[nm:2 * nm], axis=-1)
-        new_dsp["prev_wave"] = mat_out[2 * nm]
-        new_dsp["waveguide"] = from_stream(newhist, bsz, c)
-        new_dsp["wave_idx"] = jnp.mod(dsp["wave_idx"] + n, L)
-    else:
-        (new_dsp["flesh_pos_a"], new_dsp["flesh_vel_a"],
-         new_dsp["flesh_pos_b"], new_dsp["flesh_vel_b"]) = mat_out
-    new_dsp["rng"] = lcg_advance(dsp["rng"], c * n)
+    new_dsp = tex_rebuild_dsp(dsp, dsp_leaves, mat_out, mode, newhist,
+                              bsz, c, n, sr)
     return out_bcn, {"analyzer": post_state, "dsp": new_dsp}, m
 
 
@@ -1035,6 +1120,68 @@ def saturator_stage_step(params, state, block, sr: float, unroll: int = 8,
 # Reuses motion.make_p1_step / make_p2_step verbatim for the bodies.
 # ---------------------------------------------------------------------------
 
+# mono ([B]-scalar) motion state rows, in kernel tile order; the f32-cast
+# onset cooldown rides as an 11th row.
+MOTION_MONO_KEYS = ("env", "repetition", "budget_env", "variation_tone",
+                    "variation_transient", "variation_tail",
+                    "variation_tone_target", "variation_transient_target",
+                    "variation_tail_target", "motion_phase")
+
+
+def make_motion_p1_body(micro_var, tau15, cd_samples):
+    """In-kernel motion pass-1 per-sample body. Mirrors motion.make_p1_step
+    exactly (JuicyMotion cpp:75-95) with the cooldown counter as f32 rows
+    (int in the scan path; values are whole numbers either way)."""
+    one = jnp.float32(1.0)
+
+    def p1_body(carry, x):
+        env, cooldown, repetition, rng, vt, vtr, vtl = carry
+        env = tau15 * env + (one - tau15) * x
+        cooldown = jnp.maximum(cooldown - one, jnp.float32(0.0))
+        onset = (x > env * jnp.float32(1.35) + jnp.float32(0.02)) & \
+            (cooldown <= jnp.float32(0.0))
+        cooldown = jnp.where(onset, cd_samples, cooldown)
+        repetition = jnp.where(onset, repetition + one, repetition)
+        r1 = rng * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        r2 = r1 * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        r3 = r2 * jnp.uint32(1664525) + jnp.uint32(1013904223)
+
+        def draw(r, shift):
+            bits = (r >> jnp.uint32(shift)) & jnp.uint32(0x7FFF)
+            return bits.astype(jnp.int32).astype(jnp.float32) \
+                * jnp.float32(1.0 / 16384.0) - one
+
+        vt = jnp.where(onset, draw(r1, 7) * micro_var * jnp.float32(0.9), vt)
+        vtr = jnp.where(onset, draw(r2, 9) * micro_var * jnp.float32(0.8),
+                        vtr)
+        vtl = jnp.where(onset, draw(r3, 11) * micro_var * jnp.float32(0.8),
+                        vtl)
+        rng = jnp.where(onset, r3, rng)
+        repetition = repetition * jnp.float32(0.997)
+        return (env, cooldown, repetition, rng, vt, vtr, vtl)
+
+    return p1_body
+
+
+def motion_mono_tiles(dsp, b: int):
+    """Motion mono state dict -> [G, 11*MSUB, 128] kernel input."""
+    leaves = [jnp.broadcast_to(jnp.asarray(dsp[k], jnp.float32), (b,))
+              for k in MOTION_MONO_KEYS]
+    leaves.append(jnp.broadcast_to(
+        jnp.asarray(dsp["onset_cooldown"]).astype(jnp.float32), (b,)))
+    return mono_to_tiles(leaves)
+
+
+def motion_rebuild_dsp(mono_out, rng_leaf, lp_f, tail_f, prev_f):
+    """Kernel output leaves -> motion dsp-state dict."""
+    new_dsp = {k: mono_out[i] for i, k in enumerate(MOTION_MONO_KEYS)}
+    new_dsp["onset_cooldown"] = mono_out[10].astype(jnp.int32)
+    new_dsp["rng"] = rng_leaf
+    new_dsp["lp"] = lp_f
+    new_dsp["tail"] = tail_f
+    new_dsp["prev"] = prev_f
+    return new_dsp
+
 def _motion_kernel(n, c, unroll, sr, params_ref, x_ref, mono_ref, chan_ref,
                    rng_ref, lane_ref,
                    out_ref, mono_out_ref, chan_out_ref, rng_out_ref,
@@ -1064,36 +1211,9 @@ def _motion_kernel(n, c, unroll, sr, params_ref, x_ref, mono_ref, chan_ref,
         return l, r
 
     # ---- loop 1: pre-lane + pass 1 (cpp:75-95) ----
-    # pass-1 cooldown is int in the scan path; tracked as f32 rows here.
-    # The body below mirrors motion.make_p1_step exactly (f32 counter aside).
-    cd_samples = jnp.float32(int(sr * 0.04))
     one = jnp.float32(1.0)
-    tau15 = params_ref[0, 19]            # tau_coeff(0.015, sr)
-
-    def p1_body(carry, x):
-        env, cooldown, repetition, rng, vt, vtr, vtl = carry
-        env = tau15 * env + (one - tau15) * x
-        cooldown = jnp.maximum(cooldown - one, jnp.float32(0.0))
-        onset = (x > env * jnp.float32(1.35) + jnp.float32(0.02)) & \
-            (cooldown <= jnp.float32(0.0))
-        cooldown = jnp.where(onset, cd_samples, cooldown)
-        repetition = jnp.where(onset, repetition + one, repetition)
-        r1 = rng * jnp.uint32(1664525) + jnp.uint32(1013904223)
-        r2 = r1 * jnp.uint32(1664525) + jnp.uint32(1013904223)
-        r3 = r2 * jnp.uint32(1664525) + jnp.uint32(1013904223)
-
-        def draw(r, shift):
-            bits = (r >> jnp.uint32(shift)) & jnp.uint32(0x7FFF)
-            return bits.astype(jnp.int32).astype(jnp.float32) \
-                * jnp.float32(1.0 / 16384.0) - one
-
-        vt = jnp.where(onset, draw(r1, 7) * micro_var * jnp.float32(0.9), vt)
-        vtr = jnp.where(onset, draw(r2, 9) * micro_var * jnp.float32(0.8), vtr)
-        vtl = jnp.where(onset, draw(r3, 11) * micro_var * jnp.float32(0.8),
-                        vtl)
-        rng = jnp.where(onset, r3, rng)
-        repetition = repetition * jnp.float32(0.997)
-        return (env, cooldown, repetition, rng, vt, vtr, vtl)
+    p1_body = make_motion_p1_body(micro_var, params_ref[0, 19],
+                                  jnp.float32(int(sr * 0.04)))
 
     def loop1(t, carry):
         p1c, lane = carry
@@ -1222,15 +1342,7 @@ def motion_stage_step(params, state, block, sr: float, unroll: int = 8,
 
     x = to_stream(block)
     b = bsz
-    mono_leaves = [jnp.broadcast_to(jnp.asarray(dsp[k], jnp.float32), (b,))
-                   for k in ("env", "repetition", "budget_env",
-                             "variation_tone", "variation_transient",
-                             "variation_tail", "variation_tone_target",
-                             "variation_transient_target",
-                             "variation_tail_target", "motion_phase")]
-    mono_leaves.append(jnp.broadcast_to(
-        jnp.asarray(dsp["onset_cooldown"]).astype(jnp.float32), (b,)))
-    mono0 = mono_to_tiles(mono_leaves)
+    mono0 = motion_mono_tiles(dsp, b)
     chan0 = state_to_tiles([dsp["lp"], dsp["tail"], dsp["prev"]])
     rng0 = _u32_to_tiles(jnp.broadcast_to(jnp.asarray(dsp["rng"], jnp.uint32),
                                           (b,)))
@@ -1287,17 +1399,6 @@ def motion_stage_step(params, state, block, sr: float, unroll: int = 8,
                                              bsz, n, sr)
     mono_out = tiles_to_mono(mono_f, bsz, 11)
     lp_f, tail_f, prev_f = tiles_to_state(chan_f, bsz, c, 3)
-    new_dsp = {
-        "env": mono_out[0], "repetition": mono_out[1],
-        "budget_env": mono_out[2],
-        "variation_tone": mono_out[3], "variation_transient": mono_out[4],
-        "variation_tail": mono_out[5],
-        "variation_tone_target": mono_out[6],
-        "variation_transient_target": mono_out[7],
-        "variation_tail_target": mono_out[8],
-        "motion_phase": mono_out[9],
-        "onset_cooldown": mono_out[10].astype(jnp.int32),
-        "rng": tiles_to_mono(rng_f, bsz, 1)[0],
-        "lp": lp_f, "tail": tail_f, "prev": prev_f,
-    }
+    new_dsp = motion_rebuild_dsp(mono_out, tiles_to_mono(rng_f, bsz, 1)[0],
+                                 lp_f, tail_f, prev_f)
     return out_bcn, {"analyzer": post_state, "dsp": new_dsp}, m
