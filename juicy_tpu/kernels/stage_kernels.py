@@ -34,6 +34,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -408,7 +409,9 @@ _TEX_COMMON = ("tail_shape", "texture", "mix", "out_gain", "decay",
                "wet_atk", "wet_rel", "dc_r", "auto_gain_base", "in_trim",
                "mat_trim")
 _TEX_NMODES = 4
-TWO_PI32 = jnp.float32(2.0 * 3.14159265358979323846)
+# np scalar: module-level jnp constants are device arrays, which
+# pallas kernels reject as captured consts
+TWO_PI32 = _np.float32(2.0 * 3.14159265358979323846)
 
 
 def _tex_hist_len(mode: int, sr: float) -> int:

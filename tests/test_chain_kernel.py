@@ -1,0 +1,140 @@
+"""Multi-stage VMEM chain kernel vs the XLA fused executor (interpret mode).
+
+The chain kernel (kernels/chain_kernel.py) runs the whole 7-plugin suite as
+two pallas_calls per block; these tests pin it against
+runtime.chain_fused.fused_chain_step/stream — which is itself null-tested
+against the compiled C++ oracle (test_chain_fused.py, test_cpp_null.py) —
+on small shapes via the Pallas interpreter.
+
+Observed tolerances: the front kernel (punch→sat→texture→motion) is
+bit-exact vs the fused executor; the back kernel's cohere band gains go
+through exp/log instead of XLA's pow, so the full chain nulls at ≈−108 dBFS
+(non-accumulating — verified over multi-block streams)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import juicy_tpu.kernels.stage_kernels as sk
+from juicy_tpu.runtime.plugin import Chain
+from juicy_tpu.runtime.chain_fused import fused_chain_step, fused_chain_stream
+from tests.conftest import residual_dbfs
+
+SR = 48000.0
+
+CHAIN = [("punch", "Solar Snap"), ("saturator", "Amber Heat"),
+         ("texture", None), ("motion", None), ("width", "Prism Arc"),
+         ("cohere", None), ("infer", "Reference Lens")]
+
+
+@pytest.fixture(autouse=True)
+def small_tile():
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    yield
+    sk.TILE, sk.MSUB = tile, msub
+
+
+def _clips(rng, b, t):
+    tt = np.arange(t)
+    sig = 0.25 * np.sin(2 * np.pi * 220.0 * tt / SR)
+    for onset in range(0, t, 700):
+        seg = np.arange(onset, min(t, onset + 300))
+        sig[seg] += 0.5 * np.exp(-(seg - onset) / 90.0)
+    clip = np.stack([sig, np.roll(sig, 7) * 0.9])
+    clips = np.tile(clip[None], (b, 1, 1)) + \
+        0.02 * rng.standard_normal((b, 2, t))
+    return np.clip(clips, -0.99, 0.99).astype(np.float32)
+
+
+def _mk(stages, n):
+    chain = Chain(stages, sr=SR, channels=2, block_size=n)
+    return chain
+
+
+def test_chain_kernel_step_matches_fused(rng):
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n = 128, 128
+    chain = _mk(CHAIN, n)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    blk = jnp.asarray(_clips(rng, b, n))
+    out_f, st_f, m_f = fused_chain_step(chain, states, blk, unroll=1)
+    out_k, st_k, m_k = ck.chain_kernel_step(chain, states2, blk, unroll=4,
+                                            interpret=True)
+    assert residual_dbfs(np.asarray(out_k), np.asarray(out_f)) <= -90.0
+    for i in range(7):
+        assert float(np.max(np.abs(np.asarray(m_k[i]["score"])
+                                   - np.asarray(m_f[i]["score"])))) <= 1e-3
+    # punch envelope state is bit-exact (mul/add only, same op order);
+    # saturator's tone filter passes through tanh whose compile-context
+    # fusion differs by 1 ulp on a handful of samples
+    for key in ("fast_env", "slow_env"):
+        np.testing.assert_array_equal(np.asarray(st_k[0]["dsp"][key]),
+                                      np.asarray(st_f[0]["dsp"][key]))
+    np.testing.assert_allclose(np.asarray(st_k[1]["dsp"]["tone_state"]),
+                               np.asarray(st_f[1]["dsp"]["tone_state"]),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_k[3]["dsp"]["rng"]),
+                                  np.asarray(st_f[3]["dsp"]["rng"]))
+    # analyzer onset counters are integer-exact
+    for i in range(7):
+        np.testing.assert_array_equal(
+            np.asarray(st_k[i]["analyzer"]["onset_cooldown"]),
+            np.asarray(st_f[i]["analyzer"]["onset_cooldown"]))
+    # cohere learned targets / context fit track the fused path
+    for key in ("target_low", "context_fit", "tail"):
+        np.testing.assert_allclose(np.asarray(st_k[5]["dsp"][key]),
+                                   np.asarray(st_f[5]["dsp"][key]),
+                                   atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", [1, 4])
+def test_chain_kernel_materials(mode, rng):
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n = 128, 64
+    stages = list(CHAIN)
+    chain = _mk(stages, n)
+    chain.plugins[2] = chain.plugins[2].with_static(material=mode)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    blk = jnp.asarray(_clips(rng, b, n))
+    out_f, _, _ = fused_chain_step(chain, states, blk, unroll=1)
+    out_k, _, _ = ck.chain_kernel_step(chain, states2, blk, unroll=4,
+                                       interpret=True)
+    assert residual_dbfs(np.asarray(out_k), np.asarray(out_f)) <= -90.0
+
+
+@pytest.mark.slow
+def test_chain_kernel_stream_matches_fused(rng):
+    """Multi-block: state carries across blocks; drift must not accumulate."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n, nb = 128, 128, 6
+    chain = _mk(CHAIN, n)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    clips = jnp.asarray(_clips(rng, b, n * nb))
+    out_f, st_f, m_f = fused_chain_stream(chain, states, clips, unroll=1)
+    out_k, st_k, m_k = ck.chain_kernel_stream(chain, states2, clips,
+                                              unroll=4, interpret=True)
+    assert residual_dbfs(np.asarray(out_k), np.asarray(out_f)) <= -90.0
+    for i in range(7):
+        assert float(np.max(np.abs(np.asarray(m_k[i]["score"])
+                                   - np.asarray(m_f[i]["score"])))) <= 2e-3
+
+
+def test_chain_kernel_unsupported_layouts():
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    n = 64
+    assert not ck.supports_chain_kernel(_mk([("punch", None)], n))
+    wood = _mk(CHAIN, n)
+    wood.plugins[2] = wood.plugins[2].with_static(material=2)
+    assert not ck.supports_chain_kernel(wood)
+    mono = Chain(CHAIN, sr=SR, channels=1, block_size=n)
+    assert not ck.supports_chain_kernel(mono)
+    assert ck.supports_chain_kernel(_mk(CHAIN, n))
