@@ -157,14 +157,17 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
     block_s = plug.block_size / sr
     last_paint = 0.0
     painted_lines = 0
+    stop = False
     start = time.perf_counter()
     with _KeyReader() as keys:
         for k in range(nb):
+            if stop:
+                break
             if interactive:
                 key = keys.poll()
                 while key is not None:
                     if key == "q":
-                        nb = k + 1
+                        stop = True   # finish this block, then stop
                     elif key == "up":
                         sel = (sel - 1) % max(1, len(editable))
                     elif key == "down":
@@ -239,22 +242,50 @@ def cmd_process(args):
         print(f"wrote {args.output}")
 
 
+def _parse_stages(spec):
+    """'punch,saturator' or 'punch:Solar Snap,width:Prism Arc' -> stage
+    list with optional per-stage presets."""
+    stages = []
+    for part in spec.split(","):
+        name, _, preset = part.partition(":")
+        stages.append((name.strip(), preset.strip() or None))
+    return stages
+
+
 def cmd_chain(args):
+    """Chain render through the fused executor (the production fast path —
+    one scan schedule per block instead of stage-major passes); falls back
+    to stage-major Chain.run only for processors without a fuser. Output is
+    identical either way (same per-sample bodies)."""
+    import time
+    from juicy_tpu.runtime.chain_fused import fused_chain_stream
     from juicy_tpu.runtime.plugin import Chain
     from juicy_tpu.runtime.stream import pad_to_blocks
     from juicy_tpu.runtime.wav import read_wav, write_wav
     import jax.numpy as jnp
 
     audio, sr = read_wav(args.input)
-    stages = [(s, None) for s in args.stages.split(",")]
+    stages = _parse_stages(args.stages)
     chain = Chain(stages, sr=sr, channels=audio.shape[0],
                   block_size=args.block)
     padded, t = pad_to_blocks(jnp.asarray(audio), args.block)
-    out, _, metrics = chain.run(chain.init_state(), padded)
-    write_wav(args.output, np.asarray(out)[..., :t], sr)
-    scores = [float(np.asarray(m["score"])[-1]) for m in metrics]
+    t0 = time.perf_counter()
+    out, _, metrics = fused_chain_stream(chain, chain.init_state(), padded,
+                                         metrics=args.metrics)
+    out = np.asarray(out)
+    wall = time.perf_counter() - t0
+    write_wav(args.output, out[..., :t], sr)
+    x_rt = (t / sr) / max(wall, 1e-9)
+    if metrics is None:
+        print(f"wrote {args.output}  ({x_rt:.1f}x realtime incl. compile)")
+        return
+    if args.metrics == "final":
+        scores = [float(np.asarray(m["score"])) for m in metrics]
+    else:
+        scores = [float(np.asarray(m["score"])[-1]) for m in metrics]
     print(f"wrote {args.output}  stage scores: " +
-          " → ".join(f"{s:.1f}" for s in scores))
+          " → ".join(f"{s:.1f}" for s in scores) +
+          f"  ({x_rt:.1f}x realtime incl. compile)")
 
 
 def cmd_score(args):
@@ -270,6 +301,84 @@ def cmd_score(args):
     print(json.dumps(agg, indent=2))
 
 
+def cmd_corpus(args):
+    """Batch a corpus of WAVs through the fused chain executor in macro
+    batches with a resumable cursor checkpoint: an interrupted run restarts
+    at the last completed batch (the elastic-recovery path,
+    parallel/corpus.py)."""
+    import os
+    import time
+    import jax
+    import jax.numpy as jnp
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.wav import read_wav, write_wav
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    stages = _parse_stages(args.stages)
+    clips, srs = [], []
+    for path in args.inputs:
+        audio, sr = read_wav(path)
+        clips.append(audio)
+        srs.append(sr)
+    if any(s != srs[0] for s in srs):
+        raise SystemExit(f"sample rates differ across inputs: {sorted(set(srs))}")
+    channels = clips[0].shape[0]
+    if any(c.shape[0] != channels for c in clips):
+        raise SystemExit("channel counts differ across inputs")
+    sr = srs[0]
+    lengths = [c.shape[-1] for c in clips]
+    t = max(lengths)
+    t = ((t + args.block - 1) // args.block) * args.block
+    corpus = np.zeros((len(clips), channels, t), np.float32)
+    for i, c in enumerate(clips):
+        corpus[i, :, :c.shape[-1]] = c
+
+    chain = Chain(stages, sr=sr, channels=channels, block_size=args.block)
+    done = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        with open(args.checkpoint) as f:
+            ck = json.load(f)
+        if ck.get("total") == len(clips) and ck.get("stages") == args.stages:
+            done = int(ck.get("done", 0))
+            print(f"resuming at clip {done}/{len(clips)}")
+
+    # fixed macro-batch size, rounded up to the device count so the mesh
+    # batch sharding divides evenly; the final short chunk is zero-padded
+    # to the same size (one compile for every chunk)
+    ndev = jax.device_count()
+    macro = max(1, (args.batch + ndev - 1) // ndev) * ndev
+    t0 = time.perf_counter()
+    scores = []
+    while done < len(clips):
+        end = min(len(clips), done + macro)
+        chunk = corpus[done:end]
+        if chunk.shape[0] < macro:
+            chunk = np.concatenate(
+                [chunk, np.zeros((macro - chunk.shape[0],) + chunk.shape[1:],
+                                 np.float32)])
+        out, ms, agg = run_corpus_chain(chain, jnp.asarray(chunk),
+                                        metrics="final")
+        out = np.asarray(out)
+        for i in range(done, end):
+            dest = os.path.join(
+                args.out_dir, os.path.basename(args.inputs[i]))
+            write_wav(dest, out[i - done][..., :lengths[i]], sr)
+        final = np.asarray(ms[-1]["score"])
+        scores.extend(float(v) for v in final[:end - done])
+        done = end
+        if args.checkpoint:
+            with open(args.checkpoint, "w") as f:
+                json.dump({"done": done, "total": len(clips),
+                           "stages": args.stages}, f)
+        print(f"batch done: {done}/{len(clips)} clips")
+    wall = time.perf_counter() - t0
+    audio_sec = sum(lengths) / sr
+    print(f"corpus: {len(clips)} clips, mean juiciness "
+          f"{float(np.mean(scores)):.1f}, {audio_sec:.1f} audio-sec in "
+          f"{wall:.2f}s ({audio_sec / wall:.0f}x realtime incl. compile)")
+
+
 def cmd_serve(args):
     """Multi-stream serving demo: process several WAVs as concurrent
     realtime streams through ONE batched chain (runtime/serve.py) — the
@@ -281,7 +390,7 @@ def cmd_serve(args):
     from juicy_tpu.runtime.wav import read_wav, write_wav
     import jax.numpy as jnp
 
-    stages = [(nm, None) for nm in args.stages.split(",")]
+    stages = _parse_stages(args.stages)
     inputs = args.inputs
     clips, srs = [], []
     for path in inputs:
@@ -289,6 +398,12 @@ def cmd_serve(args):
         clips.append(audio)
         srs.append(sr)
     sr = srs[0]
+    if any(s != sr for s in srs):
+        raise SystemExit(
+            f"all inputs must share one sample rate; got {sorted(set(srs))}")
+    if any(c.shape[0] != clips[0].shape[0] for c in clips):
+        raise SystemExit("all inputs must share one channel count; got " +
+                         str(sorted({c.shape[0] for c in clips})))
     chain = Chain(stages, sr=sr, channels=clips[0].shape[0],
                   block_size=args.block)
     server = StreamServer(chain, max_streams=max(4, len(inputs)))
@@ -355,8 +470,26 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--stages", required=True,
-                   help="comma-separated processor names")
+                   help="comma-separated processor names, each optionally "
+                        "name:preset")
     p.add_argument("--block", type=int, default=512)
+    p.add_argument("--metrics", choices=("blocks", "final", "none"),
+                   default="blocks",
+                   help="per-block metrics (default), final block only, or "
+                        "skip analyzers entirely (fastest, not "
+                        "reference-faithful)")
+
+    p = sub.add_parser("corpus", help="batch a directory of WAVs through a "
+                                      "chain with resumable checkpoints")
+    p.add_argument("inputs", nargs="+", help="input WAV files")
+    p.add_argument("--stages", required=True)
+    p.add_argument("--block", type=int, default=512)
+    p.add_argument("--out-dir", default="corpus_out")
+    p.add_argument("--checkpoint", help="resume checkpoint path; the run "
+                                        "restarts from the last completed "
+                                        "batch after an interruption")
+    p.add_argument("--batch", type=int, default=64,
+                   help="clips per device batch")
 
     p = sub.add_parser("serve", help="batched multi-stream serving demo")
     p.add_argument("inputs", nargs="+")
@@ -366,7 +499,8 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     {"list": cmd_list, "process": cmd_process, "chain": cmd_chain,
-     "score": cmd_score, "serve": cmd_serve}[args.cmd](args)
+     "score": cmd_score, "serve": cmd_serve,
+     "corpus": cmd_corpus}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -234,19 +234,7 @@ def process(params, carry, block, sr: float):
     n = block.shape[-1]
 
     micro_var = jnp.asarray(params["microvar"], jnp.float32)
-    motion_depth = jnp.asarray(params["motiondepth"], jnp.float32)
     repeat_ctrl = jnp.asarray(params["repeatctrl"], jnp.float32)
-    contrast_budget = jnp.asarray(params["budget"], jnp.float32)
-    mix = jnp.asarray(params["mix"], jnp.float32)
-    out_gain = db_to_gain(params["output"])
-
-    budget_coeff = tau_coeff(0.080, sr)
-    tail_feedback = jmap(repeat_ctrl, 0.15, 0.88)
-    depth = jlimit(0.0, 2.0, motion_depth)
-    motion_rate = jmap(micro_var, 0.25, 2.0) * jmap5(depth, 0.0, 2.0, 0.75, 1.6)
-    motion_inc = TWO_PI * motion_rate / jnp.float32(sr)
-    var_slew = tau_coeff(0.020, sr)
-    one = jnp.float32(1.0)
 
     # --- pass 1: mono detection (cpp:75-95) ---
     ch1 = min(1, channels - 1)
@@ -260,14 +248,8 @@ def process(params, carry, block, sr: float):
     # slew/LFO/budget state ch0 → ch1 exactly like the C++ channel loop.
     # Drift-pinned sin/exp (ops/precise.py): the LFO feeds a near-unity tail
     # feedback, so libm-vs-XLA ulps would otherwise amplify past −80 dBFS.
-    from juicy_tpu.ops.precise import onepole_coeff32, sin32
-
     batch = mono.shape[:-1]
     dry = block[..., :channels, :]
-    budget_target = jmap(contrast_budget, 0.8, 0.25)
-    lfo_depth = (jnp.float32(250.0) + jnp.float32(550.0) * micro_var) * \
-        (jnp.float32(0.5) + jnp.float32(0.9) * depth)
-
     consts = p2_consts(params, sr)
 
     def make_step(ch_offset):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 
 def ar_envelope(x, attack_coeff, release_coeff, init, axis: int = -1,
-                unroll: int = None):
+                unroll: "int | None" = None):
     """env[n] = (1−c)·x[n] + c·env[n−1],  c = attack if x[n] > env[n−1] else release.
 
     Returns the full envelope sequence (same shape as x). `x` is expected
@@ -35,12 +35,12 @@ def ar_envelope(x, attack_coeff, release_coeff, init, axis: int = -1,
 
     from juicy_tpu.ops.scan_utils import default_unroll
     _, envs = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
-                           unroll=unroll or default_unroll())
+                           unroll=default_unroll() if unroll is None else unroll)
     return jnp.moveaxis(envs, 0, axis)
 
 
 def ar_envelope_final(x, attack_coeff, release_coeff, init, axis: int = -1,
-                      unroll: int = None):
+                      unroll: "int | None" = None):
     """Like :func:`ar_envelope` but returns only the final envelope state."""
     x = jnp.asarray(x, jnp.float32)
     x_t = jnp.moveaxis(x, axis, 0)
@@ -53,5 +53,5 @@ def ar_envelope_final(x, attack_coeff, release_coeff, init, axis: int = -1,
 
     from juicy_tpu.ops.scan_utils import default_unroll
     env, _ = jax.lax.scan(step, jnp.asarray(init, jnp.float32), x_t,
-                          unroll=unroll or default_unroll())
+                          unroll=default_unroll() if unroll is None else unroll)
     return env

@@ -436,20 +436,25 @@ _FUSERS = {
 
 def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
                      block: jnp.ndarray, metrics: str = "blocks",
-                     unroll: int = None):
+                     unroll: Optional[int] = None, params: Sequence = None):
     """One block [..., C, N] through the whole chain with fused scans.
 
     Returns (out [..., C, N], new_states, metrics_list) — same contract as
     running Chain.step (pre-analyze → DSP → post-analyze per stage).
+
+    `params` overrides chain.params (same per-stage structure) — e.g. a
+    vmapped caller passing per-stream parameter rows (runtime/serve.py).
     """
     block = jnp.asarray(block, jnp.float32)
     channels = chain.channels
     n = block.shape[-1]
     batch_shape = block.shape[:-2]
     sr = chain.sr
+    if params is None:
+        params = chain.params
 
     from juicy_tpu.ops.scan_utils import default_unroll
-    ex = _Executor(n, unroll=unroll or default_unroll(4))
+    ex = _Executor(n, unroll=default_unroll(4) if unroll is None else unroll)
     ex.add_stream("x0", block)
 
     lanes: List[Optional[_AnalyzerLane]] = []
@@ -474,9 +479,9 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
     ex.flush = flush_with_lanes
 
     state_thunks = []
-    for i, (plug, params) in enumerate(zip(chain.plugins, chain.params)):
+    for i, (plug, stage_params) in enumerate(zip(chain.plugins, params)):
         in_s, out_s = f"x{i}", f"x{i + 1}"
-        p = plug.full_params(params)
+        p = plug.full_params(stage_params)
         st = states[i]
         if metrics != "none":
             lane = _AnalyzerLane(i, st["analyzer"], in_s, out_s, channels,
@@ -520,14 +525,14 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
             assert lane.post_metrics is not None, "post lane never scheduled"
             new_states.append({"analyzer": lane.post_state, "dsp": dsp_state})
             finalize = plug.defn.finalize_metrics or _default_finalize
-            metric_list.append(finalize(plug.full_params(chain.params[i]),
+            metric_list.append(finalize(plug.full_params(params[i]),
                                         lane.pre_metrics, lane.post_metrics,
                                         dsp_state))
     return out, new_states, metric_list
 
 
 def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
-                       unroll: int = 4):
+                       unroll: Optional[int] = 4, params: Sequence = None):
     """Stream a [..., C, T] corpus through the fused chain block-major.
 
     One outer scan over blocks; all stage states ride the carry, so the
@@ -547,7 +552,7 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
     if metrics == "blocks":
         def scan_step(sts, blk):
             out, sts, m = fused_chain_step(chain, sts, blk, metrics=metrics,
-                                           unroll=unroll)
+                                           unroll=unroll, params=params)
             return sts, (out, m)
         states, (outs, ms) = jax.lax.scan(scan_step, states, blocks)
     elif metrics == "final":
@@ -555,12 +560,13 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
         # only the last block's metrics survive (threaded through the carry,
         # seeded by running block 0 outside the scan).
         out0, states, m0 = fused_chain_step(chain, states, blocks[0],
-                                            metrics="blocks", unroll=unroll)
+                                            metrics="blocks", unroll=unroll,
+                                            params=params)
 
         def scan_step(carry, blk):
             sts, _ = carry
             out, sts, m = fused_chain_step(chain, sts, blk, metrics="blocks",
-                                           unroll=unroll)
+                                           unroll=unroll, params=params)
             return (sts, m), out
         (states, ms), outs_rest = jax.lax.scan(scan_step, (states, m0),
                                                blocks[1:])
@@ -568,7 +574,7 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
     else:   # "none"
         def scan_step(sts, blk):
             out, sts, _ = fused_chain_step(chain, sts, blk, metrics="none",
-                                           unroll=unroll)
+                                           unroll=unroll, params=params)
             return sts, out
         states, outs = jax.lax.scan(scan_step, states, blocks)
         ms = None

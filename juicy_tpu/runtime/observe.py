@@ -102,11 +102,23 @@ def guarded_step(step_fn: Callable) -> Callable:
         finite = jnp.all(jnp.isfinite(out), axis=(-2, -1))
         fault = ~finite
         out = jnp.where(finite[..., None, None], out, jnp.float32(0.0))
-        rolled = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(fault, fault.shape + (1,) * (new.ndim - fault.ndim)),
-                old, new) if new.ndim >= fault.ndim else new,
-            new_state, state)
+
+        def roll(new, old):
+            new = jnp.asarray(new)
+            old = jnp.asarray(old)
+            extra = new.ndim - fault.ndim
+            if extra < 0:
+                # A leaf the step kept SHARED across the fault batch (e.g. a
+                # scalar LCG advanced once for all clips): promote it to
+                # per-clip so each faulted clip restores its own pre-fault
+                # value while healthy clips keep the advanced one.
+                new = jnp.broadcast_to(new, fault.shape + new.shape)
+                extra = 0
+            old = jnp.broadcast_to(old, new.shape)
+            mask = jnp.reshape(fault, fault.shape + (1,) * extra)
+            return jnp.where(mask, old, new)
+
+        rolled = jax.tree.map(roll, new_state, state)
         return out, rolled, metrics, fault
 
     return wrapped

@@ -11,12 +11,19 @@ slots and returns each active stream's rendered block and metrics.
 
 Slots are independent — opening/closing a stream resets just its state
 row (a jitted scatter into the batched state pytree), so tenants come and
-go without recompiling or disturbing neighbours.
+go without recompiling or disturbing neighbours. Each slot also carries its
+OWN parameter rows (`set_params` / `set_preset`): the DAW-track analog
+where every track runs the same insert chain with its own knob settings
+(each reference instance reads its own APVTS atomics,
+e.g. JuicyPunch/PluginProcessor.cpp:74-80). While every slot still has the
+default parameters the tick dispatches the shared-params fast path; the
+first per-slot edit switches (one recompile) to a vmapped step with
+parameter rows.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,16 +34,29 @@ from juicy_tpu.runtime.plugin import Chain
 
 
 class StreamServer:
-    def __init__(self, chain: Chain, max_streams: int, metrics: str = "blocks"):
+    def __init__(self, chain: Chain, max_streams: int,
+                 metrics: str = "blocks", stage_metrics: str = "last"):
+        """`stage_metrics`: "last" returns the final stage's score per tick
+        (cheapest host transfer); "all" returns every stage's metric dict
+        per stream (the full meter-rail view)."""
         self.chain = chain
         self.max_streams = int(max_streams)
         self.metrics = metrics
+        self.stage_metrics = stage_metrics
         self._free = list(range(self.max_streams))[::-1]
         self._active: Dict[int, bool] = {}
         self._pending: Dict[int, np.ndarray] = {}
         self._fresh = chain.init_state()             # single-slot template
         self._states = jax.vmap(lambda _: chain.init_state())(
             jnp.arange(self.max_streams))
+        # per-slot parameter rows, seeded from the chain's stage params
+        self._default_rows = [
+            {k: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                 (self.max_streams,))
+             for k, v in stage_params.items()}
+            for stage_params in chain.params]
+        self._params = [dict(rows) for rows in self._default_rows]
+        self._custom_params = False
 
         def _reset_slot(states, idx, fresh):
             return jax.tree.map(
@@ -44,20 +64,30 @@ class StreamServer:
                 states, fresh)
         self._reset_slot = jax.jit(_reset_slot)
 
-        def _tick(states, blocks):
-            out, states, metrics_list = fused_chain_step(
-                chain, states, blocks, metrics=self.metrics)
-            return out, states, metrics_list
-        self._tick = jax.jit(_tick)
+        def _tick_shared(states, blocks):
+            return fused_chain_step(chain, states, blocks,
+                                    metrics=self.metrics)
+        self._tick_shared = jax.jit(_tick_shared)
+
+        def _tick_rows(states, blocks, params):
+            def one(st, blk, pr):
+                return fused_chain_step(chain, st, blk,
+                                        metrics=self.metrics, params=pr)
+            return jax.vmap(one)(states, blocks, params)
+        self._tick_rows = jax.jit(_tick_rows)
 
     # -- stream lifecycle --------------------------------------------------
 
     def open_stream(self) -> int:
-        """Claim a slot (fresh chain state). Raises when the pool is full."""
+        """Claim a slot (fresh chain state + default params). Raises when
+        the pool is full."""
         if not self._free:
             raise RuntimeError(f"all {self.max_streams} stream slots in use")
         sid = self._free.pop()
         self._states = self._reset_slot(self._states, sid, self._fresh)
+        for stage, defaults in zip(self._params, self._default_rows):
+            for k in stage:
+                stage[k] = stage[k].at[sid].set(defaults[k][sid])
         self._active[sid] = True
         return sid
 
@@ -70,22 +100,65 @@ class StreamServer:
     def active_streams(self) -> int:
         return len(self._active)
 
+    # -- per-stream parameters ---------------------------------------------
+
+    def _stage_index(self, stage: Union[int, str]) -> int:
+        if isinstance(stage, int):
+            return stage
+        for i, plug in enumerate(self.chain.plugins):
+            if plug.defn.name == stage:
+                return i
+        raise KeyError(f"no stage named {stage!r} in this chain")
+
+    def set_params(self, sid: int, stage: Union[int, str],
+                   **updates) -> None:
+        """Set parameter values for ONE stream's instance of one stage —
+        the per-track knob analog. Takes effect at the next tick()."""
+        if sid not in self._active:
+            raise KeyError(f"stream {sid} is not open")
+        i = self._stage_index(stage)
+        rows = self._params[i]
+        for key, value in updates.items():
+            if key not in rows:
+                raise KeyError(
+                    f"stage {self.chain.plugins[i].defn.name!r} has no "
+                    f"parameter {key!r}")
+            rows[key] = rows[key].at[sid].set(jnp.float32(value))
+        self._custom_params = True
+
+    def set_preset(self, sid: int, stage: Union[int, str],
+                   preset: str) -> None:
+        """Apply a named factory preset to one stream's stage (the
+        setCurrentProgram analog, per stream)."""
+        i = self._stage_index(stage)
+        plug = self.chain.plugins[i]
+        values = {k: float(v) for k, v in plug.preset(preset).items()}
+        self.set_params(sid, i, **values)
+
+    def get_params(self, sid: int, stage: Union[int, str]) -> Dict[str, float]:
+        i = self._stage_index(stage)
+        return {k: float(v[sid]) for k, v in self._params[i].items()}
+
     # -- the serving loop --------------------------------------------------
 
     def submit(self, sid: int, block: np.ndarray) -> None:
         """Stage one [C, N] block for stream `sid` for the next tick."""
         if sid not in self._active:
             raise KeyError(f"stream {sid} is not open")
-        c, n = block.shape
-        assert (c, n) == (self.chain.channels, self.chain.block_size)
-        self._pending[sid] = np.asarray(block, np.float32)
+        block = np.asarray(block, np.float32)
+        expected = (self.chain.channels, self.chain.block_size)
+        if block.shape != expected:
+            raise ValueError(f"block shape {block.shape} != expected "
+                             f"(channels, block_size) = {expected}")
+        self._pending[sid] = block
 
     def tick(self) -> Dict[int, Dict[str, np.ndarray]]:
         """One batched device step over every submitted block.
 
-        Returns {stream id: {"audio": [C, N], "score": float, ...last-stage
-        metrics...}}. Streams that submitted nothing process silence (their
-        state still advances, like a DAW feeding an idle track)."""
+        Returns {stream id: {"audio": [C, N], "score": float,
+        "pre_score": float[, "stages": [per-stage metric dicts]]}}. Streams
+        that submitted nothing process silence (their state still advances,
+        like a DAW feeding an idle track)."""
         blocks = np.zeros((self.max_streams, self.chain.channels,
                            self.chain.block_size), np.float32)
         for sid, blk in self._pending.items():
@@ -93,16 +166,29 @@ class StreamServer:
         submitted = [sid for sid in self._active if sid in self._pending]
         self._pending.clear()
 
-        out, self._states, metrics_list = self._tick(self._states,
-                                                     jnp.asarray(blocks))
+        if self._custom_params:
+            out, self._states, metrics_list = self._tick_rows(
+                self._states, jnp.asarray(blocks), self._params)
+        else:
+            out, self._states, metrics_list = self._tick_shared(
+                self._states, jnp.asarray(blocks))
         out_np = np.asarray(out)
         results: Dict[int, Dict[str, np.ndarray]] = {}
         last = metrics_list[-1] if metrics_list is not None else None
         scores = np.asarray(last["score"]) if last is not None else None
+        if self.stage_metrics == "all" and metrics_list is not None:
+            stage_rows = [{k: np.asarray(v) for k, v in m.items()}
+                          for m in metrics_list]
+        else:
+            stage_rows = None
         for sid in submitted:
             entry = {"audio": out_np[sid]}
             if scores is not None:
                 entry["score"] = float(scores[sid])
                 entry["pre_score"] = float(np.asarray(last["pre_score"])[sid])
+            if stage_rows is not None:
+                entry["stages"] = [
+                    {k: float(v[sid]) for k, v in row.items()}
+                    for row in stage_rows]
             results[sid] = entry
         return results

@@ -40,6 +40,63 @@ def test_cli_chain(tmp_path, rng, capsys):
     assert out.shape == (2, 2048)
 
 
+def test_cli_chain_matches_stage_major(tmp_path, rng, capsys):
+    """cmd_chain rides the fused executor; output must match the
+    stage-major Chain.run path to the ulp (same per-sample bodies; tanh
+    compile-context fusion differs by 1 ulp on a few samples)."""
+    import jax.numpy as jnp
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.stream import pad_to_blocks
+
+    src = os.path.join(tmp_path, "in.wav")
+    dst = os.path.join(tmp_path, "out.wav")
+    clip = make_clip(rng, 2, 2048)
+    write_wav(src, clip, 48000)
+    main(["chain", src, dst, "--stages", "punch:Crater Impact,saturator",
+          "--block", "512", "--metrics", "final"])
+    captured = capsys.readouterr().out
+    assert "stage scores" in captured and "x realtime" in captured
+    out, _ = read_wav(dst)
+
+    chain = Chain([("punch", "Crater Impact"), ("saturator", None)],
+                  sr=48000.0, channels=2, block_size=512)
+    padded, t = pad_to_blocks(jnp.asarray(clip), 512)
+    want, _, _ = chain.run(chain.init_state(), padded)
+    np.testing.assert_allclose(out, np.asarray(want)[..., :t], atol=1e-6)
+
+
+def test_cli_corpus_resumable(tmp_path, rng, capsys):
+    srcs = []
+    for i in range(3):
+        p = os.path.join(tmp_path, f"clip{i}.wav")
+        write_wav(p, make_clip(rng, 2, 1024) * (0.5 + 0.2 * i), 48000)
+        srcs.append(p)
+    out_dir = os.path.join(tmp_path, "out")
+    ck = os.path.join(tmp_path, "cursor.json")
+    main(["corpus", *srcs, "--stages", "punch,infer", "--block", "512",
+          "--out-dir", out_dir, "--checkpoint", ck, "--batch", "2"])
+    captured = capsys.readouterr().out
+    assert "mean juiciness" in captured
+    assert json.load(open(ck))["done"] == 3
+    for i in range(3):
+        out, sr = read_wav(os.path.join(out_dir, f"clip{i}.wav"))
+        assert out.shape == (2, 1024)
+    # resume: nothing left to do
+    main(["corpus", *srcs, "--stages", "punch,infer", "--block", "512",
+          "--out-dir", out_dir, "--checkpoint", ck, "--batch", "2"])
+    assert "resuming at clip 3/3" in capsys.readouterr().out
+
+
+def test_cli_serve_rejects_mismatched_inputs(tmp_path, rng):
+    import pytest
+    a = os.path.join(tmp_path, "a.wav")
+    b = os.path.join(tmp_path, "b.wav")
+    write_wav(a, make_clip(rng, 2, 1024), 48000)
+    write_wav(b, make_clip(rng, 2, 1024), 44100)
+    with pytest.raises(SystemExit):
+        main(["serve", a, b, "--out-prefix", os.path.join(tmp_path, "s_")])
+
+
 def test_cli_score(tmp_path, rng, capsys):
     src = os.path.join(tmp_path, "in.wav")
     write_wav(src, make_clip(rng, 2, 2048), 48000)

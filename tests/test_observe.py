@@ -69,6 +69,48 @@ def test_guarded_step_rolls_back_state_on_fault(rng):
         np.asarray(state["dsp"]["tone_state"]))
 
 
+def test_guarded_step_rolls_back_scalar_state_leaves(rng):
+    """Scalar/shared state leaves (motion's slew/phase/LCG) must roll back
+    too: a faulted clip in a batched block restores its FULL pre-fault
+    state, including leaves the step kept shared across the batch — these
+    get promoted to per-clip rows so healthy clips still advance."""
+    import jax
+
+    plug = Plugin("motion", SR, 2, 512)
+    params = plug.default_params()
+    state = plug.init_state()        # unbatched: scalar slew/phase/rng
+
+    def bad_step(p, s, b):
+        out, s2, m = plug.step(p, s, b)
+        # poison clip 1 only
+        return out.at[1, 0, 0].set(jnp.nan), s2, m
+
+    g = guarded_step(bad_step)
+    clips = np.stack([make_clip(rng, 2, 512), make_clip(rng, 2, 512) * 0.5,
+                      make_clip(rng, 2, 512) * 0.25])
+    out, st, m, fault = g(params, state, jnp.asarray(clips))
+    np.testing.assert_array_equal(np.asarray(fault), [False, True, False])
+
+    # reference: the same step without the poison, per clip
+    ref_out, ref_st, _ = plug.step(params, state, jnp.asarray(clips))
+    for key in ("motion_phase", "variation_tone", "budget_env", "rng",
+                "onset_cooldown", "env", "tail", "lp"):
+        got = np.asarray(st["dsp"][key])
+        want_new = np.broadcast_to(np.asarray(ref_st["dsp"][key]),
+                                   got.shape)
+        want_old = np.broadcast_to(np.asarray(state["dsp"][key]), got.shape)
+        np.testing.assert_array_equal(got[1], want_old[1],
+                                      err_msg=f"{key} not rolled back")
+        np.testing.assert_array_equal(got[0], want_new[0],
+                                      err_msg=f"{key} wrongly rolled back")
+        np.testing.assert_array_equal(got[2], want_new[2])
+    # analyzer state rolls back the same way
+    an = np.asarray(st["analyzer"]["short_env"])
+    np.testing.assert_array_equal(
+        an[1], np.broadcast_to(np.asarray(state["analyzer"]["short_env"]),
+                               an.shape)[1])
+
+
 def test_throughput_meter():
     meter = ThroughputMeter(SR)
     with meter.stage("analyze", samples=48000, batch=4):

@@ -70,3 +70,69 @@ def test_stream_server_idle_stream_advances(rng):
     server.submit(a, make_clip(rng, 2, BLOCK))
     res = server.tick()
     assert a in res and b not in res
+
+
+def test_stream_server_rejects_bad_block_shape(rng):
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=1)
+    a = server.open_stream()
+    with pytest.raises(ValueError):
+        server.submit(a, np.zeros((2, BLOCK // 2), np.float32))
+    with pytest.raises(KeyError):
+        server.submit(99, np.zeros((2, BLOCK), np.float32))
+
+
+def test_stream_server_per_stream_presets(rng):
+    """Two streams with DIFFERENT per-slot presets each match a solo
+    Chain.run configured with that preset — the per-DAW-track knob analog
+    (each reference instance reads its own APVTS,
+    JuicyPunch/PluginProcessor.cpp:74-80)."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=4)
+    clip = make_clip(rng, 2, BLOCK * 3)
+
+    a = server.open_stream()
+    b = server.open_stream()
+    server.set_preset(b, "punch", "Crater Impact")
+    server.set_params(b, "saturator", drive=13.5)
+    got_a, got_b = [], []
+    for k in range(3):
+        server.submit(a, clip[:, k * BLOCK:(k + 1) * BLOCK])
+        server.submit(b, clip[:, k * BLOCK:(k + 1) * BLOCK])
+        res = server.tick()
+        got_a.append(res[a]["audio"])
+        got_b.append(res[b]["audio"])
+
+    want_a, _, _ = chain.run(chain.init_state(), jnp.asarray(clip))
+    chain_b = Chain([("punch", "Crater Impact"),
+                     ("saturator", "Amber Heat"), ("infer", None)],
+                    sr=SR, channels=2, block_size=BLOCK)
+    chain_b.params[1]["drive"] = np.float32(13.5)
+    want_b, _, _ = chain_b.run(chain_b.init_state(), jnp.asarray(clip))
+    res_a = residual_dbfs(np.concatenate(got_a, -1), np.asarray(want_a))
+    res_b = residual_dbfs(np.concatenate(got_b, -1), np.asarray(want_b))
+    assert res_a <= -95.0, f"default-params stream diverges: {res_a:.1f}"
+    assert res_b <= -95.0, f"per-slot-preset stream diverges: {res_b:.1f}"
+    # the two streams really did render differently
+    assert residual_dbfs(np.concatenate(got_a, -1),
+                         np.concatenate(got_b, -1)) > -40.0
+    # slot recycling restores defaults
+    server.close_stream(b)
+    c = server.open_stream()
+    assert c == b
+    assert server.get_params(c, "punch")["punch"] == \
+        pytest.approx(float(chain.params[0]["punch"]))
+
+
+def test_stream_server_all_stage_metrics(rng):
+    """stage_metrics='all' returns every stage's metric dict per stream."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=2, stage_metrics="all")
+    a = server.open_stream()
+    server.submit(a, make_clip(rng, 2, BLOCK))
+    res = server.tick()
+    stages = res[a]["stages"]
+    assert len(stages) == len(STAGES)
+    for row in stages:
+        assert 0.0 <= row["score"] <= 100.0
+    assert res[a]["score"] == pytest.approx(stages[-1]["score"])
