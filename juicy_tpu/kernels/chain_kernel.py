@@ -1,51 +1,62 @@
 """Multi-stage VMEM-resident chain kernels: the whole 7-plugin suite as
-TWO ``pallas_call``s per block (plus width's time-parallel XLA pass between
-them), with every inter-stage audio stream living in VMEM.
+TWO ``pallas_call``s per block, every inter-stage audio stream living in
+VMEM.
 
-Why: the fused chain executor (runtime/chain_fused.py) is bound by
-inter-stage HBM traffic — ~9 intermediate streams × 16 MB (B=4096)
-written + re-read per block ≈ 380 MB at the measured effective rate
-(BASELINE.md "where the remaining time goes"), with analyzer bodies and
-loop count measured *not* to matter. These kernels keep the punch →
-saturator → texture → motion intermediates (and cohere → infer) entirely
-in VMEM scratch, so per block the front kernel reads ONE stream from HBM
-and writes ONE; same for the back kernel.
+Why: the fused chain executor (runtime/chain_fused.py) is bound by the
+sequential per-sample structure of the reference semantics — and measured
+profiling (BASELINE.md round 3) shows the chain is issue-bound on the
+serial sample loops, with inter-stage HBM traffic second. These kernels
+attack both:
+
+  * inter-stage streams (punch→sat→texture→motion and width→cohere→infer)
+    never touch HBM — per block each kernel reads ONE stream and writes
+    ONE;
+  * the 14 analyzer-lane instances run PACKED: lanes are stacked along the
+    sublane axis so one lane-body update advances up to four lanes at full
+    VPU width, and every *stateless* lane accumulator (rms/peak/side/corr/
+    L²/R²) is hoisted out of the serial loops into wide vectorized
+    reductions over the VMEM-resident streams (same tree-sum order as the
+    fused executor's stream_stats);
+  * width's whole DSP folds into the back kernel: its only serial state is
+    the block-local width shrink (a ~6-op loop); the Haas read is ONE
+    dynamic slice of the VMEM window and everything else is vectorized.
 
 Front kernel (per block, per (8,128)-tiled clip batch):
-  loop 1: pre-analyzer lanes for punch/saturator/texture/motion + punch DSP
-          + saturator DSP + texture DSP (incl. in-kernel LCG roughness)
-          + motion pass-1 — ONE pass over the samples, audio flowing
-          stage-to-stage inside the loop body (stage i+1 at sample t needs
-          only stage i at t — the same dependency structure chain_fused
-          exploits, now at register level);
-  loop 2: post lanes for punch/sat/texture (their pre lanes finished at the
-          end of loop 1 — one shared analyzer instance per plugin threads
-          pre → post, JuicinessAnalyzer.h:33-43) + motion pass-2 ch0;
+  loop 1: punch DSP + saturator DSP + texture DSP (in-kernel LCG noise)
+          + motion pass-1 chained at register level, plus the four PRE
+          lanes packed into one body;
+  loop 2: packed punch/sat/texture POST lanes (their pre lanes finished at
+          the end of loop 1 — one shared analyzer instance per plugin
+          threads pre → post, JuicinessAnalyzer.h:33-43) + motion pass-2
+          ch0;
   loop 3: motion pass-2 ch1 (channel-serial shared state,
           JuicyMotion/PluginProcessor.cpp:108-115) + channel merge;
-  loop 4: motion post lane + width PRE lane over the kernel's output.
-
-Width itself (cumsum width-shrink + Haas window read) is parallel over
-time — it runs as plain XLA between the kernels (models/width.py).
+  loop 4: packed motion-POST + width-PRE lanes over the kernel's output.
 
 Back kernel:
-  loop 1: width POST lane + cohere PRE lane + cohere mono 3-band analysis
-          (JuicyCohere/PluginProcessor.cpp:62-76);
+  loop W: serial width shrink (the block-local ``width *= limit`` quirk,
+          JuicyWidth/PluginProcessor.cpp:109-112, in the exact C++
+          repeated-multiplication order) storing wet-L and the Haas window;
+  vector: Haas delayed read (one dynamic slice) + width mix/output
+          (cpp:119-133);
+  loop 1: packed width-POST + cohere-PRE lanes + cohere mono 3-band
+          analysis (JuicyCohere/PluginProcessor.cpp:62-76);
   block:  learn EMA + context-fit + band compensation gains in-kernel
           (cpp:78-96; pow/log via exp/log — ulp-level vs the XLA path);
   loop 2: cohere render (cpp:99-118, split filters zeroed per block — the
-          reference quirk) + cohere POST lane + infer PRE lane + infer trim
-          (JuicyInfer/PluginProcessor.cpp:74-79);
+          reference quirk) + packed cohere-POST + infer-PRE lanes + infer
+          trim (JuicyInfer/PluginProcessor.cpp:74-79);
   loop 3: infer POST lane over the trimmed output.
 
 All per-sample bodies are the proven in-kernel forms from
 kernels/stage_kernels.py (texture/motion) or direct transcriptions of the
-models' per-sample bodies (punch/saturator/cohere) in the exact float32 op
-order of the C++. Score formulas run outside in XLA via finalize_lane.
+models' per-sample bodies (punch/saturator/width/cohere) in the exact
+float32 op order of the C++. Score formulas run outside in XLA via
+finalize_lane.
 
 Unsupported layouts (non-canonical stage order, mono, waveguide texture
 materials wood/plastic — their VMEM sliding window would overflow the
-~16 MB/core budget on top of the four stream scratches, traced materials)
+~16 MB/core budget on top of the stream scratches, traced materials)
 raise ChainKernelUnsupported; callers fall back to the XLA fused executor.
 """
 
@@ -62,15 +73,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from juicy_tpu.kernels import stage_kernels as sk
 from juicy_tpu.models import (motion as _motion, punch as _punch,
-                              saturator as _sat, texture as _texture,
-                              width as _width)
-from juicy_tpu.utils.convert import db_to_gain, onepole_coeff, tau_coeff
+                              saturator as _sat, texture as _texture)
+from juicy_tpu.utils.convert import (db_to_gain, jmap, onepole_coeff,
+                                     tau_coeff)
 
 CHAIN_ORDER = ("punch", "saturator", "texture", "motion", "width",
                "cohere", "infer")
 
-# front-kernel lane slots (width rides only its PRE lane here; its input is
-# the front kernel's output)
+# front-kernel lane slots in fin/acc outputs (width rides only its PRE lane
+# here; its input is the front kernel's output)
 _F_LANES = ("punch_pre", "punch_post", "sat_pre", "sat_post", "tex_pre",
             "tex_post", "motion_pre", "motion_post", "width_pre")
 # back-kernel lane slots
@@ -113,28 +124,123 @@ def _check_chain(chain) -> int:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel lane helpers at a slot offset (the stage kernels use one lane
-# per ref; here 9/5 lanes share two refs).
+# Packed serial analyzer lanes.
+#
+# The full 15-var in-kernel lane (stage_kernels._lane_step) carries six
+# accumulators that are pure stateless reductions of the stream (rms, peak,
+# side, corr, L², R²). Here the serial lane keeps only the 9 genuinely
+# sequential vars (envelopes, onset counter, band filters and their energy
+# sums — the band outputs exist only sample-by-sample); the stateless six
+# are computed vectorized from the VMEM streams after the loops. K lanes
+# stack along the sublane axis ([K·MSUB, 128] per var) so one body update
+# advances all K.
 # ---------------------------------------------------------------------------
 
-def _lane_init_at(lanes_ref, idx: int):
-    msub = sk.MSUB
-    base = idx * 5
-    fin = [lanes_ref[(base + i) * msub:(base + i + 1) * msub, :]
-           for i in range(5)]
-    z = jnp.zeros_like(fin[0])
-    return [fin[0], fin[1], fin[4], z, z, fin[2], fin[3],
-            z, z, z, z, z, z, z, z]
+def _lane9_step(lane, mono, k):
+    """One packed lane sample; serial op order of JuicinessAnalyzer.cpp:
+    57-84 (envelopes, onset counting, band splits + band energies)."""
+    (atk_s, rel_s, atk_l, rel_l, low_c, high_c, cd_samples) = k
+    one = jnp.float32(1.0)
+    s_env, l_env, cooldown, t_acc, count, lo, hi, lo_acc, hi_acc = lane
+    x = jnp.abs(mono)
+    cs = jnp.where(x > s_env, atk_s, rel_s)
+    s_env = (one - cs) * x + cs * s_env
+    cl = jnp.where(x > l_env, atk_l, rel_l)
+    l_env = (one - cl) * x + cl * l_env
+    transient = jnp.maximum(jnp.float32(0.0), s_env - l_env)
+    t_acc = t_acc + transient
+    cooldown = jnp.maximum(cooldown - one, jnp.float32(0.0))
+    onset = (transient > jnp.float32(0.045)) & (cooldown <= jnp.float32(0.0))
+    count = count + onset.astype(jnp.float32)
+    cooldown = jnp.where(onset, cd_samples, cooldown)
+    lo = lo + low_c * (mono - lo)
+    hi = hi + high_c * (mono - hi)
+    low_v = lo
+    high_v = mono - hi
+    lo_acc = lo_acc + low_v * low_v
+    hi_acc = hi_acc + high_v * high_v
+    return [s_env, l_env, cooldown, t_acc, count, lo, hi, lo_acc, hi_acc]
 
 
-def _store_lane_at(lane, fin_ref, acc_ref, idx: int):
+def _lane9_init_at(lanes_ref, slots):
+    """Packed lane init from the [S·5·MSUB, 128] lane-state input ref.
+    fin row order per slot: s_env, l_env, low, high, cooldown."""
     msub = sk.MSUB
-    for i, j in enumerate(sk._LANE_FIN):
+
+    def row(s, i):
+        return lanes_ref[(s * 5 + i) * msub:(s * 5 + i + 1) * msub, :]
+
+    def var(i):
+        vs = [row(s, i) for s in slots]
+        return vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=0)
+
+    z = jnp.zeros_like(var(0))
+    return [var(0), var(1), var(4), z, z, var(2), var(3), z, z]
+
+
+def _lane9_pack(lanes):
+    """Stack K single lanes -> one packed lane."""
+    if len(lanes) == 1:
+        return [v for v in lanes[0]]
+    return [jnp.concatenate(vs, axis=0) for vs in zip(*lanes)]
+
+
+def _lane9_unpack(lane, k):
+    msub = sk.MSUB
+    out = []
+    for i in range(k):
+        out.append([v[i * msub:(i + 1) * msub, :] for v in lane])
+    return out
+
+
+def _lane9_reset(lane):
+    """Fresh accumulators, persistent state carried (pre -> post lane)."""
+    z = jnp.zeros_like(lane[0])
+    return [lane[0], lane[1], lane[2], z, z, lane[5], lane[6], z, z]
+
+
+def _store_lane9(lane, stats, fin_ref, acc_ref, idx: int):
+    """Write one lane + its vectorized stateless stats in the v1 layout
+    (stage_kernels._LANE_FIN/_LANE_ACC order) so finalize_lane is shared."""
+    msub = sk.MSUB
+    fin_rows = (lane[0], lane[1], lane[5], lane[6], lane[2])
+    acc_rows = (lane[3], lane[4], lane[7], lane[8]) + tuple(stats)
+    for i, v in enumerate(fin_rows):
         r = idx * 5 + i
-        fin_ref[r * msub:(r + 1) * msub, :] = lane[j]
-    for i, j in enumerate(sk._LANE_ACC):
+        fin_ref[r * msub:(r + 1) * msub, :] = v
+    for i, v in enumerate(acc_rows):
         r = idx * 10 + i
-        acc_ref[r * msub:(r + 1) * msub, :] = lane[j]
+        acc_ref[r * msub:(r + 1) * msub, :] = v
+
+
+def _stats_from_rows(ref, n, c, chunk: int = 64):
+    """Stateless lane accumulators of a [n·CSUB, 128] VMEM stream ref:
+    (rms_acc, peak, side_acc, corr_acc, l², r²), each [MSUB, 128].
+    Tree-sum order like the fused executor's stream_stats; chunked so the
+    vectorized temporaries stay within the scoped-VMEM stack budget."""
+    msub = sk.MSUB
+    csub = c * msub
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+    z = jnp.zeros((msub, sk.LANES), jnp.float32)
+
+    def body(i, accs):
+        rms, peak, side_a, corr, l2, r2 = accs
+        base = pl.multiple_of(i * chunk * csub, 8)
+        a = ref[pl.ds(base, chunk * csub), :].reshape(chunk, csub, sk.LANES)
+        l = a[:, 0:msub, :]
+        r = a[:, msub:2 * msub, :] if c > 1 else l
+        mono = jnp.float32(0.5) * (l + r)
+        side = jnp.float32(0.5) * (l - r)
+        return (rms + jnp.sum(mono * mono, axis=0),
+                jnp.maximum(peak, jnp.max(jnp.abs(mono), axis=0)),
+                side_a + jnp.sum(side * side, axis=0),
+                corr + jnp.sum(l * r, axis=0),
+                l2 + jnp.sum(l * l, axis=0),
+                r2 + jnp.sum(r * r, axis=0))
+
+    return jax.lax.fori_loop(0, n // chunk, body, (z, z, z, z, z, z))
 
 
 def _lane_slices(fin_t, acc_t, idx: int):
@@ -157,6 +263,7 @@ def _front_kernel(mode, n, c, unroll, sr,
     msub = sk.MSUB
     csub = c * msub
     one = jnp.float32(1.0)
+    half = jnp.float32(0.5)
     P = [0]
 
     def nextp(k=1):
@@ -187,6 +294,10 @@ def _front_kernel(mode, n, c, unroll, sr,
         r = s[msub:2 * msub, :] if c > 1 else l
         return l, r
 
+    def mono_of(s):
+        l, r = split(s)
+        return half * (l + r)
+
     # --- initial states ---
     fast0 = pdsp_ref[0:csub, :]
     slow0 = pdsp_ref[csub:2 * csub, :]
@@ -199,46 +310,38 @@ def _front_kernel(mode, n, c, unroll, sr,
      mphase0, mcd0) = ms
     mrng0 = mrng_ref[...]
 
-    lane_p = _lane_init_at(lanes_ref, 0)
-    lane_s = _lane_init_at(lanes_ref, 1)
-    lane_t = _lane_init_at(lanes_ref, 2)
-    lane_m = _lane_init_at(lanes_ref, 3)
+    lane_pre = _lane9_init_at(lanes_ref, (0, 1, 2, 3))
 
-    # ---- loop 1: four pre lanes + punch + sat + texture DSP + motion p1 ----
+    # ---- loop 1: punch + sat + texture DSP + motion p1 + packed pre lanes
     def loop1(tt, carry):
-        (fast, slow, tone, tex_st, p1c, lane_p, lane_s, lane_t,
-         lane_m) = carry
+        (fast, slow, tone, tex_st, p1c, lane_pre) = carry
         base = pl.multiple_of(tt * unroll * csub, 8)
         chunk = x_ref[pl.ds(base, unroll * csub), :]
         y1s, y2s, y3s = [], [], []
         for u in range(unroll):
             t = tt * unroll + u
             d0 = chunk[u * csub:(u + 1) * csub, :]
-            l, r = split(d0)
-            lane_p = sk._lane_step(lane_p, l, r, lane_k)
             # punch DSP (cpp:83-110)
             a = jnp.abs(d0)
             fast = (one - fast_c) * a + fast_c * fast
             slow = (one - slow_c) * a + slow_c * slow
             d1 = sk._punch_shape_gain(d0, fast, slow, pp, p_out_gain)
-            l, r = split(d1)
-            lane_s = sk._lane_step(lane_s, l, r, lane_k)
             # saturator DSP (cpp:89-96; serial tone op order)
             driven = d1 * s_in
             skewed = driven + s_asym * driven * driven
             soft = jnp.tanh(skewed)
             tone = tone + s_tone_c * (soft - tone)
             d2 = d1 + s_mix * (tone * s_out - d1)
-            l, r = split(d2)
-            lane_t = sk._lane_step(lane_t, l, r, lane_k)
             # texture DSP (cpp:107-277)
             w = white_at(t)
             d3, tex_st = tex_sample(d2, w, tex_st, t)
-            l3, r3 = split(d3)
-            lane_m = sk._lane_step(lane_m, l3, r3, lane_k)
+            m3 = mono_of(d3)
             # motion pass 1 (cpp:75-95) on |mono|
-            mono = jnp.float32(0.5) * (l3 + r3)
-            p1c = p1_body(p1c, jnp.abs(mono))
+            p1c = p1_body(p1c, jnp.abs(m3))
+            # packed pre lanes: punch(x0), sat(y1), tex(y2), motion(y3)
+            mono_pack = jnp.concatenate(
+                [mono_of(d0), mono_of(d1), mono_of(d2), m3], axis=0)
+            lane_pre = _lane9_step(lane_pre, mono_pack, lane_k)
             y1s.append(d1)
             y2s.append(d2)
             y3s.append(d3)
@@ -247,15 +350,13 @@ def _front_kernel(mode, n, c, unroll, sr,
         # out_ref holds the texture stream (motion's input) until the
         # channel merge overwrites it with motion's output
         out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y3s, axis=0)
-        return (fast, slow, tone, tex_st, p1c, lane_p, lane_s, lane_t,
-                lane_m)
+        return (fast, slow, tone, tex_st, p1c, lane_pre)
 
     tex_st0 = tex_core0 + (tex_mat0,)
     p1c0 = (menv0, mcd0, mrep0, mrng0, mvtt0, mvtrt0, mvtlt0)
-    (fast, slow, tone, tex_st, p1c, lane_p, lane_s, lane_t, lane_m) = \
-        jax.lax.fori_loop(0, n // unroll, loop1,
-                          (fast0, slow0, tone0, tex_st0, p1c0,
-                           lane_p, lane_s, lane_t, lane_m))
+    (fast, slow, tone, tex_st, p1c, lane_pre) = jax.lax.fori_loop(
+        0, n // unroll, loop1, (fast0, slow0, tone0, tex_st0, p1c0,
+                                lane_pre))
 
     pdsp_out[0:csub, :] = fast
     pdsp_out[csub:2 * csub, :] = slow
@@ -264,10 +365,18 @@ def _front_kernel(mode, n, c, unroll, sr,
         tdsp_out[i * csub:(i + 1) * csub, :] = tex_st[i]
     for i, v in enumerate(tex_st[9]):
         tmat_out[i * csub:(i + 1) * csub, :] = v
-    _store_lane_at(lane_p, fin_ref, acc_ref, 0)
-    _store_lane_at(lane_s, fin_ref, acc_ref, 2)
-    _store_lane_at(lane_t, fin_ref, acc_ref, 4)
-    _store_lane_at(lane_m, fin_ref, acc_ref, 6)
+
+    # vectorized stateless stats of every materialized stream
+    s_x0 = _stats_from_rows(x_ref, n, c)
+    s_y1 = _stats_from_rows(y1_ref, n, c)
+    s_y2 = _stats_from_rows(y2_ref, n, c)
+    s_y3 = _stats_from_rows(out_ref, n, c)
+
+    lp_p, lp_s, lp_t, lp_m = _lane9_unpack(lane_pre, 4)
+    _store_lane9(lp_p, s_x0, fin_ref, acc_ref, 0)
+    _store_lane9(lp_s, s_y1, fin_ref, acc_ref, 2)
+    _store_lane9(lp_t, s_y2, fin_ref, acc_ref, 4)
+    _store_lane9(lp_m, s_y3, fin_ref, acc_ref, 6)
 
     env_f, cd_f, rep_f, rng_f, vtt_f, vtrt_f, vtlt_f = p1c
     # motion block scales (cpp:97-99)
@@ -275,11 +384,9 @@ def _front_kernel(mode, n, c, unroll, sr,
     repetition_scale = one - mo_repeat_ctrl * rep_norm * jnp.float32(0.65)
     recovery = one + mo_repeat_ctrl * (one - rep_norm) * jnp.float32(0.25)
 
-    lane_p2 = sk._lane_reset(lane_p)
-    lane_s2 = sk._lane_reset(lane_s)
-    lane_t2 = sk._lane_reset(lane_t)
+    lane_post3 = _lane9_reset(_lane9_pack([lp_p, lp_s, lp_t]))
 
-    # ---- loop 2: punch/sat/texture post lanes + motion p2 ch0 ----
+    # ---- loop 2: packed punch/sat/texture post lanes + motion p2 ch0 ----
     # ---- loop 3: motion p2 ch1 (channel-serial shared state) ----
     shared = (mvt0, mvtr0, mvtl0, mphase0)
     be = mbe0
@@ -292,12 +399,12 @@ def _front_kernel(mode, n, c, unroll, sr,
         prev = mchan_ref[(2 * c + ch) * msub:(2 * c + ch + 1) * msub, :]
         carry0 = shared[:3] + (shared[3], lp, tail, prev, be)
         if ch == 0:
-            carry0 = carry0 + (lane_p2, lane_s2, lane_t2)
+            carry0 = carry0 + (lane_post3,)
 
         def loop23(t, carry, ch=ch, p2=p2):
             if ch == 0:
                 p2c = carry[:8]
-                lanes = list(carry[8:])
+                lane3 = carry[8]
             else:
                 p2c = carry
             base = pl.multiple_of(t * unroll * csub, 8)
@@ -308,12 +415,12 @@ def _front_kernel(mode, n, c, unroll, sr,
             ys = []
             for u in range(unroll):
                 if ch == 0:
-                    l, r = split(y1chunk[u * csub:(u + 1) * csub, :])
-                    lanes[0] = sk._lane_step(lanes[0], l, r, lane_k)
-                    l, r = split(y2chunk[u * csub:(u + 1) * csub, :])
-                    lanes[1] = sk._lane_step(lanes[1], l, r, lane_k)
-                    l, r = split(y3chunk[u * csub:(u + 1) * csub, :])
-                    lanes[2] = sk._lane_step(lanes[2], l, r, lane_k)
+                    mono_pack = jnp.concatenate(
+                        [mono_of(y1chunk[u * csub:(u + 1) * csub, :]),
+                         mono_of(y2chunk[u * csub:(u + 1) * csub, :]),
+                         mono_of(y3chunk[u * csub:(u + 1) * csub, :])],
+                        axis=0)
+                    lane3 = _lane9_step(lane3, mono_pack, lane_k)
                 d = y3chunk[u * csub + ch * msub:u * csub + (ch + 1) * msub,
                             :]
                 p2c, y = p2(p2c, d)
@@ -324,12 +431,12 @@ def _front_kernel(mode, n, c, unroll, sr,
             ch_scratch[ch][pl.ds(sbase, unroll * msub), :] = \
                 jnp.concatenate(ys, axis=0)
             if ch == 0:
-                return p2c + tuple(lanes)
+                return p2c + (lane3,)
             return p2c
 
         carry = jax.lax.fori_loop(0, n // unroll, loop23, carry0)
         if ch == 0:
-            lane_p2, lane_s2, lane_t2 = carry[8], carry[9], carry[10]
+            lane_post3 = carry[8]
             carry = carry[:8]
         vt_s, vtr_s, vtl_s, phase_s, lp_f, tail_f, prev_f, be = carry
         shared = (vt_s, vtr_s, vtl_s, phase_s)
@@ -337,9 +444,10 @@ def _front_kernel(mode, n, c, unroll, sr,
         mchan_out[(1 * c + ch) * msub:(1 * c + ch + 1) * msub, :] = tail_f
         mchan_out[(2 * c + ch) * msub:(2 * c + ch + 1) * msub, :] = prev_f
 
-    _store_lane_at(lane_p2, fin_ref, acc_ref, 1)
-    _store_lane_at(lane_s2, fin_ref, acc_ref, 3)
-    _store_lane_at(lane_t2, fin_ref, acc_ref, 5)
+    pp_p, pp_s, pp_t = _lane9_unpack(lane_post3, 3)
+    _store_lane9(pp_p, s_y1, fin_ref, acc_ref, 1)
+    _store_lane9(pp_s, s_y2, fin_ref, acc_ref, 3)
+    _store_lane9(pp_t, s_y3, fin_ref, acc_ref, 5)
 
     # ---- merge the per-channel scratches into interleaved sample tiles ----
     merge_u = max(1, 8 // msub)
@@ -364,151 +472,37 @@ def _front_kernel(mode, n, c, unroll, sr,
         mmono_out[i * msub:(i + 1) * msub, :] = v
     mrng_out[...] = rng_f
 
-    # ---- loop 4: motion post lane + width PRE lane over the output ----
-    lane_m2 = sk._lane_reset(lane_m)
-    lane_w = _lane_init_at(lanes_ref, 4)
+    # ---- loop 4: packed motion-post + width-pre lanes over the output ----
+    s_x4 = _stats_from_rows(out_ref, n, c)
+    lane_mw = _lane9_pack([_lane9_reset(lp_m),
+                           _lane9_init_at(lanes_ref, (4,))])
 
-    def loop4(t, carry):
-        lane_m2, lane_w = carry
+    def loop4(t, lane_mw):
         base = pl.multiple_of(t * unroll * csub, 8)
         chunk = out_ref[pl.ds(base, unroll * csub), :]
         for u in range(unroll):
-            l, r = split(chunk[u * csub:(u + 1) * csub, :])
-            lane_m2 = sk._lane_step(lane_m2, l, r, lane_k)
-            lane_w = sk._lane_step(lane_w, l, r, lane_k)
-        return lane_m2, lane_w
+            m = mono_of(chunk[u * csub:(u + 1) * csub, :])
+            lane_mw = _lane9_step(
+                lane_mw, jnp.concatenate([m, m], axis=0), lane_k)
+        return lane_mw
 
-    lane_m2, lane_w = jax.lax.fori_loop(0, n // unroll, loop4,
-                                        (lane_m2, lane_w))
-    _store_lane_at(lane_m2, fin_ref, acc_ref, 7)
-    _store_lane_at(lane_w, fin_ref, acc_ref, 8)
-
-
-def _front_step(chain, states, block, mode: int, unroll: int,
-                interpret: bool):
-    """Run the front kernel; returns (x4, new-dsp leaves dict, fin, acc)."""
-    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
-    bsz, c, n = block.shape
-    csub = c * msub
-    sr = chain.sr
-    params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
-
-    fast_c, slow_c = _punch.env_coeffs(sr)
-    satk = _sat.sat_consts(params[1], sr)
-    mo_kc = _motion.p2_consts(params[3], sr)
-    pv = [*sk._lane_consts(sr),
-          *[jnp.asarray(params[0][k], jnp.float32) for k in sk._PUNCH_PKEYS],
-          db_to_gain(params[0]["output"]), fast_c, slow_c,
-          satk["in_gain"], satk["asym"], satk["tone_coeff"],
-          satk["out_gain"], satk["mix"],
-          jnp.asarray(params[3]["microvar"], jnp.float32),
-          jnp.asarray(params[3]["repeatctrl"], jnp.float32),
-          *[mo_kc[k] for k in _MOTION_KC_KEYS],
-          tau_coeff(0.015, sr),
-          *sk.tex_param_list(params[2], states[2]["dsp"], sr, mode)]
-    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
-
-    from juicy_tpu.ops.noise import _jump_coefficients
-    a_np, b_np = _jump_coefficients(c * n)
-    lcg_a = jnp.asarray(a_np)[None]
-    lcg_b = jnp.asarray(b_np)[None]
-
-    x = sk.to_stream(block)
-    pdsp = sk.state_to_tiles([states[0]["dsp"]["fast_env"],
-                              states[0]["dsp"]["slow_env"]])
-    sdsp = sk.state_to_tiles([states[1]["dsp"]["tone_state"]])
-    tdsp = sk.state_to_tiles([states[2]["dsp"][k] for k in sk._TEX_DSP_KEYS])
-    mat_leaves = sk.tex_mat_leaves(states[2]["dsp"], mode)
-    tmat = sk.state_to_tiles(mat_leaves)
-    nmat = len(mat_leaves)
-    trng = sk._u32_to_tiles(jnp.asarray(states[2]["dsp"]["rng"], jnp.uint32))
-    mmono = sk.motion_mono_tiles(states[3]["dsp"], bsz)
-    mchan = sk.state_to_tiles([states[3]["dsp"]["lp"],
-                               states[3]["dsp"]["tail"],
-                               states[3]["dsp"]["prev"]])
-    mrng = sk._u32_to_tiles(jnp.broadcast_to(
-        jnp.asarray(states[3]["dsp"]["rng"], jnp.uint32), (bsz,)))
-    lanes0 = jnp.concatenate(
-        [sk.pack_lane(states[i]["analyzer"], bsz) for i in range(5)], axis=1)
-
-    grid = bsz // tile
-    kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr)
-
-    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, *refs):
-        tiled, rest = refs[:-(2 + c)], refs[-(2 + c):]
-        kernel(params_ref, lcg_a_ref, lcg_b_ref,
-               *[r.at[0] for r in tiled], *rest)
-
-    def smem(w):
-        return pl.BlockSpec((1, w), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-
-    ts = sk._tilespec
-    out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f, fin, acc \
-        = pl.pallas_call(
-            wrapped,
-            grid=(grid,),
-            in_specs=[
-                smem(pvec.shape[1]), smem(c * n), smem(c * n),
-                ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
-                ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
-                ts(msub), ts(25 * msub),
-            ],
-            out_specs=[
-                ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
-                ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
-                ts(45 * msub), ts(90 * msub),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, 2 * csub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, 9 * csub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, nmat * csub, lanes_n),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((grid, 11 * msub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, 3 * csub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, msub, lanes_n), jnp.uint32),
-                jax.ShapeDtypeStruct((grid, 45 * msub, lanes_n), jnp.float32),
-                jax.ShapeDtypeStruct((grid, 90 * msub, lanes_n), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((n * csub, lanes_n), jnp.float32),
-                pltpu.VMEM((n * csub, lanes_n), jnp.float32),
-            ] + [pltpu.VMEM((n * msub, lanes_n), jnp.float32)
-                 for _ in range(c)],
-            interpret=interpret,
-        )(pvec, lcg_a, lcg_b, x, pdsp, sdsp, tdsp, tmat, trng, mmono,
-          mchan, mrng, lanes0)
-
-    x4 = sk.from_stream(out, bsz, c)
-    fast_f, slow_f = sk.tiles_to_state(pdsp_f, bsz, c, 2)
-    (tone_f,) = sk.tiles_to_state(sdsp_f, bsz, c, 1)
-    tex_leaves = sk.tiles_to_state(tdsp_f, bsz, c, 9)
-    tex_mat_out = sk.tiles_to_state(tmat_f, bsz, c, nmat)
-    mono_out = sk.tiles_to_mono(mmono_f, bsz, 11)
-    lp_f, tail_f, prev_f = sk.tiles_to_state(mchan_f, bsz, c, 3)
-    dsp_states = {
-        "punch": {"fast_env": fast_f, "slow_env": slow_f},
-        "saturator": {"tone_state": tone_f},
-        "texture": sk.tex_rebuild_dsp(states[2]["dsp"], tex_leaves,
-                                      tex_mat_out, mode, None, bsz, c, n, sr),
-        "motion": sk.motion_rebuild_dsp(
-            mono_out, sk.tiles_to_mono(mrng_f, bsz, 1)[0], lp_f, tail_f,
-            prev_f),
-    }
-    return x4, dsp_states, fin, acc
+    lane_mw = jax.lax.fori_loop(0, n // unroll, loop4, lane_mw)
+    lm_post, lw_pre = _lane9_unpack(lane_mw, 2)
+    _store_lane9(lm_post, s_x4, fin_ref, acc_ref, 7)
+    _store_lane9(lw_pre, s_x4, fin_ref, acc_ref, 8)
 
 
 # ---------------------------------------------------------------------------
-# Back kernel: cohere + infer
+# Back kernel: width -> cohere -> infer
 # ---------------------------------------------------------------------------
 
-def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
-                 lanes_ref, out_ref, cmono_out, ctail_out, fin_ref, acc_ref):
+def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
+                 ctail_ref, lanes_ref, out_ref, newwin_ref, cmono_out,
+                 ctail_out, fin_ref, acc_ref, x5_ref, window_ref, dma_sem):
     msub = sk.MSUB
     csub = c * msub
     one = jnp.float32(1.0)
+    half = jnp.float32(0.5)
     P = [0]
 
     def nextp(k=1):
@@ -517,17 +511,87 @@ def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
         return vals if k > 1 else vals[0]
 
     lane_k = tuple(nextp(7))
+    w_width0, w_limit, w_mix, w_out, w_delay_f = nextp(5)
     low_c, high_c = nextp(2)
     match_amt, learn_f, decay, tail_amt, co_mix, co_out = nextp(6)
     trim_gain, inv_n = nextp(2)
+
+    g = pl.program_id(0)
+    cp = pltpu.make_async_copy(win_ref.at[g],
+                               window_ref.at[pl.ds(0, D * msub), :],
+                               dma_sem)
+    cp.start()
+    cp.wait()
 
     def split(s):
         l = s[0:msub, :]
         r = s[msub:2 * msub, :] if c > 1 else l
         return l, r
 
-    lane_w = _lane_init_at(lanes_ref, 0)
-    lane_c = _lane_init_at(lanes_ref, 1)
+    # ---- width (JuicyWidth cpp:92-133): serial block-local width shrink
+    # (the exact C++ repeated-multiplication order, cpp:109-112), wet-L to a
+    # temp region of out_ref, wet-R-pre into the Haas window; everything
+    # else vectorized below.
+    w0 = jnp.zeros((msub, sk.LANES), jnp.float32) + w_width0
+
+    def loopw(tt, w):
+        base = pl.multiple_of(tt * unroll * csub, 8)
+        chunk = x_ref[pl.ds(base, unroll * csub), :]
+        wls, wrs = [], []
+        for u in range(unroll):
+            l, r = split(chunk[u * csub:(u + 1) * csub, :])
+            corr = jnp.clip(l * r * jnp.float32(12.0), jnp.float32(-1.0),
+                            jnp.float32(1.0))
+            dip = corr < jnp.float32(-0.1)
+            w = jnp.where(dip, w * w_limit, w)
+            mid = half * (l + r)
+            side = half * (l - r) * (one + w)
+            wls.append(mid + side)
+            wrs.append(mid - side)
+        mbase = tt * unroll * msub
+        if (unroll * msub) % 8 == 0:
+            mbase = pl.multiple_of(mbase, 8)
+        out_ref[pl.ds(mbase, unroll * msub), :] = jnp.concatenate(wls, 0)
+        wbase = D * msub + tt * unroll * msub
+        if (unroll * msub) % 8 == 0:
+            wbase = pl.multiple_of(wbase, 8)
+        window_ref[pl.ds(wbase, unroll * msub), :] = jnp.concatenate(wrs, 0)
+        return w
+
+    jax.lax.fori_loop(0, n // unroll, loopw, w0)
+
+    # vectorized Haas read + mix/output (cpp:119-133)
+    delay = w_delay_f.astype(jnp.int32)
+    a3 = x_ref[...].reshape(n, csub, sk.LANES)
+    dl = a3[:, 0:msub, :]
+    dr = a3[:, msub:2 * msub, :]
+    wet_l = out_ref[0:n * msub, :].reshape(n, msub, sk.LANES)
+    base_rows = (D - delay) * msub
+    aligned = (base_rows // 8) * 8
+    frac = base_rows - aligned
+    big = window_ref[pl.ds(aligned, n * msub + 8), :]
+    wet_r_rows = big[0:n * msub, :]
+    # frac is a multiple of MSUB (base_rows = (D - delay)·MSUB), so only
+    # those candidate shifts can occur
+    for f in range(msub, 8, msub):
+        wet_r_rows = jnp.where(frac == f, big[f:n * msub + f, :], wet_r_rows)
+    wet_r = wet_r_rows.reshape(n, msub, sk.LANES)
+    x5_l = (dl + w_mix * (wet_l - dl)) * w_out
+    x5_r = (dr + w_mix * (wet_r - dr)) * w_out
+    x5_ref[...] = jnp.concatenate([x5_l, x5_r], axis=1).reshape(
+        n * csub, sk.LANES)
+
+    # updated window = last D rows
+    cp = pltpu.make_async_copy(
+        window_ref.at[pl.ds(n * msub, D * msub), :], newwin_ref.at[g],
+        dma_sem)
+    cp.start()
+    cp.wait()
+
+    s_x5 = _stats_from_rows(x5_ref, n, c)
+
+    # ---- loop 1: packed width-post + cohere-pre lanes + cohere analysis
+    lane_wc = _lane9_init_at(lanes_ref, (0, 1))
     a_low0 = cmono_ref[0:msub, :]
     a_high0 = cmono_ref[msub:2 * msub, :]
     t_low0 = cmono_ref[2 * msub:3 * msub, :]
@@ -535,17 +599,16 @@ def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
     t_high0 = cmono_ref[4 * msub:5 * msub, :]
     z = jnp.zeros_like(a_low0)
 
-    # ---- loop 1: width post + cohere pre lanes + mono 3-band analysis ----
     def loop1(t, carry):
-        lane_w, lane_c, lo, hi, le, me, he = carry
+        lane_wc, lo, hi, le, me, he = carry
         base = pl.multiple_of(t * unroll * csub, 8)
-        chunk = x_ref[pl.ds(base, unroll * csub), :]
+        chunk = x5_ref[pl.ds(base, unroll * csub), :]
         for u in range(unroll):
             l, r = split(chunk[u * csub:(u + 1) * csub, :])
-            lane_w = sk._lane_step(lane_w, l, r, lane_k)
-            lane_c = sk._lane_step(lane_c, l, r, lane_k)
+            m = half * (l + r)
+            lane_wc = _lane9_step(
+                lane_wc, jnp.concatenate([m, m], axis=0), lane_k)
             # cohere analysis (cpp:62-76), exact serial op/summation order
-            m = jnp.float32(0.5) * (l + r)
             lo = lo + low_c * (m - lo)
             hi = hi + high_c * (m - hi)
             low_v = lo
@@ -554,12 +617,13 @@ def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
             le = le + low_v * low_v
             me = me + mid_v * mid_v
             he = he + high_v * high_v
-        return lane_w, lane_c, lo, hi, le, me, he
+        return lane_wc, lo, hi, le, me, he
 
-    lane_w, lane_c, a_low, a_high, le, me, he = jax.lax.fori_loop(
-        0, n // unroll, loop1, (lane_w, lane_c, a_low0, a_high0, z, z, z))
-    _store_lane_at(lane_w, fin_ref, acc_ref, 0)
-    _store_lane_at(lane_c, fin_ref, acc_ref, 1)
+    lane_wc, a_low, a_high, le, me, he = jax.lax.fori_loop(
+        0, n // unroll, loop1, (lane_wc, a_low0, a_high0, z, z, z))
+    lw_post, lc_pre = _lane9_unpack(lane_wc, 2)
+    _store_lane9(lw_post, s_x5, fin_ref, acc_ref, 0)
+    _store_lane9(lc_pre, s_x5, fin_ref, acc_ref, 1)
 
     # ---- block-level learn EMA + context fit + band gains (cpp:78-96) ----
     le = le * inv_n
@@ -606,19 +670,20 @@ def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
     def perchan(v):
         return jnp.concatenate([v] * c, axis=0)
 
-    cc_low, cc_mid, cc_high = perchan(low_comp), perchan(mid_comp), \
-        perchan(high_comp)
+    cc_low, cc_mid, cc_high = (perchan(low_comp), perchan(mid_comp),
+                               perchan(high_comp))
 
-    # ---- loop 2: cohere render + cohere post + infer pre lanes + trim ----
-    lane_c2 = sk._lane_reset(lane_c)
-    lane_i = _lane_init_at(lanes_ref, 2)
+    # ---- loop 2: cohere render + packed cohere-post/infer-pre lanes +
+    # infer trim; y6 overwrites the x5 scratch rows in place
+    lane_ci = _lane9_pack([_lane9_reset(lc_pre),
+                           _lane9_init_at(lanes_ref, (2,))])
     zc = jnp.zeros_like(ctail_ref[...])
 
     def loop2(t, carry):
-        lane_c2, lane_i, lp_a, lp_b, tail = carry
+        lane_ci, lp_a, lp_b, tail = carry
         base = pl.multiple_of(t * unroll * csub, 8)
-        chunk = x_ref[pl.ds(base, unroll * csub), :]
-        ys = []
+        chunk = x5_ref[pl.ds(base, unroll * csub), :]
+        y6s, y7s = [], []
         for u in range(unroll):
             d = chunk[u * csub:(u + 1) * csub, :]
             # cohere render (cpp:99-118); split filters start from zero
@@ -631,47 +696,217 @@ def _back_kernel(n, c, unroll, params_ref, x_ref, cmono_ref, ctail_ref,
             tail = matched + tail * fb
             wet = matched + tail_amt * jnp.float32(0.35) * tail
             y6 = (d + co_mix * (wet - d)) * co_out
-            l, r = split(y6)
-            lane_c2 = sk._lane_step(lane_c2, l, r, lane_k)
-            lane_i = sk._lane_step(lane_i, l, r, lane_k)
+            m = half * (y6[0:msub, :] + (y6[msub:2 * msub, :]
+                                         if c > 1 else y6[0:msub, :]))
+            lane_ci = _lane9_step(
+                lane_ci, jnp.concatenate([m, m], axis=0), lane_k)
+            y6s.append(y6)
             # infer trim (JuicyInfer cpp:74-79)
-            ys.append(y6 * trim_gain)
-        out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(ys, axis=0)
-        return lane_c2, lane_i, lp_a, lp_b, tail
+            y7s.append(y6 * trim_gain)
+        x5_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y6s, axis=0)
+        out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y7s, axis=0)
+        return lane_ci, lp_a, lp_b, tail
 
-    lane_c2, lane_i, _lp_a, _lp_b, tail_f = jax.lax.fori_loop(
-        0, n // unroll, loop2, (lane_c2, lane_i, zc, zc, ctail_ref[...]))
-    _store_lane_at(lane_c2, fin_ref, acc_ref, 2)
-    _store_lane_at(lane_i, fin_ref, acc_ref, 3)
+    lane_ci, _lp_a, _lp_b, tail_f = jax.lax.fori_loop(
+        0, n // unroll, loop2, (lane_ci, zc, zc, ctail_ref[...]))
+    s_y6 = _stats_from_rows(x5_ref, n, c)
+    lc_post, li_pre = _lane9_unpack(lane_ci, 2)
+    _store_lane9(lc_post, s_y6, fin_ref, acc_ref, 2)
+    _store_lane9(li_pre, s_y6, fin_ref, acc_ref, 3)
     ctail_out[...] = tail_f
 
     # ---- loop 3: infer post lane over the trimmed output ----
-    lane_i2 = sk._lane_reset(lane_i)
+    lane_i2 = _lane9_reset(li_pre)
 
     def loop3(t, lane_i2):
         base = pl.multiple_of(t * unroll * csub, 8)
         chunk = out_ref[pl.ds(base, unroll * csub), :]
         for u in range(unroll):
             l, r = split(chunk[u * csub:(u + 1) * csub, :])
-            lane_i2 = sk._lane_step(lane_i2, l, r, lane_k)
+            lane_i2 = _lane9_step(lane_i2, half * (l + r), lane_k)
         return lane_i2
 
     lane_i2 = jax.lax.fori_loop(0, n // unroll, loop3, lane_i2)
-    _store_lane_at(lane_i2, fin_ref, acc_ref, 4)
+    s_y7 = _stats_from_rows(out_ref, n, c)
+    _store_lane9(lane_i2, s_y7, fin_ref, acc_ref, 4)
 
 
-def _back_step(chain, states, x5, width_pre_fin, unroll: int,
-               interpret: bool):
-    """Run the back kernel; returns (out, cohere dsp', fin, acc)."""
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: pack once -> scan in kernel-tile layout -> unpack once.
+#
+# All DSP state (including the Haas window) and the audio stream stay in the
+# kernels' [G, rows, 128] tile layout across blocks — the layout transposes
+# (to_stream/from_stream/state_to_tiles) run exactly once per corpus, not
+# once per block. Only the analyzer states thread as small [B]-leaf dicts
+# (their per-block finalize math is the score formulas, shared with the
+# stage kernels via finalize_lane).
+# ---------------------------------------------------------------------------
+
+_TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4}
+
+
+def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
+                     interpret: bool):
+    """Static setup for the front kernel. Returns (pack, call, unpack):
+    pack(states) -> tiles; call(x_tile, tiles, lanes0) ->
+    (out_tile, tiles', fin, acc); unpack(tiles, states0) -> dsp dicts."""
     msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
-    bsz, c, n = x5.shape
+    c, n, sr = chain.channels, chain.block_size, chain.sr
     csub = c * msub
-    sr = chain.sr
+    grid = bsz // tile
+    nmat = _TEX_NMAT[mode]
+    params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
+
+    fast_c, slow_c = _punch.env_coeffs(sr)
+    satk = _sat.sat_consts(params[1], sr)
+    mo_kc = _motion.p2_consts(params[3], sr)
+    pv = [*sk._lane_consts(sr),
+          *[jnp.asarray(params[0][k], jnp.float32) for k in sk._PUNCH_PKEYS],
+          db_to_gain(params[0]["output"]), fast_c, slow_c,
+          satk["in_gain"], satk["asym"], satk["tone_coeff"],
+          satk["out_gain"], satk["mix"],
+          jnp.asarray(params[3]["microvar"], jnp.float32),
+          jnp.asarray(params[3]["repeatctrl"], jnp.float32),
+          *[mo_kc[k] for k in _MOTION_KC_KEYS],
+          tau_coeff(0.015, sr),
+          *sk.tex_param_list(params[2], states0[2]["dsp"], sr, mode)]
+    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+
+    from juicy_tpu.ops.noise import _jump_coefficients, lcg_advance
+    a_np, b_np = _jump_coefficients(c * n)
+    lcg_a = jnp.asarray(a_np)[None]
+    lcg_b = jnp.asarray(b_np)[None]
+
+    kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr)
+
+    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, *refs):
+        tiled, rest = refs[:-(2 + c)], refs[-(2 + c):]
+        kernel(params_ref, lcg_a_ref, lcg_b_ref,
+               *[r.at[0] for r in tiled], *rest)
+
+    def smem(w):
+        return pl.BlockSpec((1, w), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    ts = sk._tilespec
+    pcall = functools.partial(
+        pl.pallas_call, wrapped,
+        grid=(grid,),
+        in_specs=[
+            smem(pvec.shape[1]), smem(c * n), smem(c * n),
+            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
+            ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
+            ts(msub), ts(25 * msub),
+        ],
+        out_specs=[
+            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
+            ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
+            ts(45 * msub), ts(90 * msub),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 2 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 9 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, nmat * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 11 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 3 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, msub, lanes_n), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 45 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 90 * msub, lanes_n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+        ] + [pltpu.VMEM((n * msub, lanes_n), jnp.float32)
+             for _ in range(c)],
+        interpret=interpret,
+    )
+
+    def pack(states):
+        return {
+            "pdsp": sk.state_to_tiles([states[0]["dsp"]["fast_env"],
+                                       states[0]["dsp"]["slow_env"]]),
+            "sdsp": sk.state_to_tiles([states[1]["dsp"]["tone_state"]]),
+            "tdsp": sk.state_to_tiles([states[2]["dsp"][k]
+                                       for k in sk._TEX_DSP_KEYS]),
+            "tmat": sk.state_to_tiles(sk.tex_mat_leaves(states[2]["dsp"],
+                                                        mode)),
+            "trng": sk._u32_to_tiles(jnp.asarray(states[2]["dsp"]["rng"],
+                                                 jnp.uint32)),
+            "mmono": sk.motion_mono_tiles(states[3]["dsp"], bsz),
+            "mchan": sk.state_to_tiles([states[3]["dsp"]["lp"],
+                                        states[3]["dsp"]["tail"],
+                                        states[3]["dsp"]["prev"]]),
+            "mrng": sk._u32_to_tiles(jnp.broadcast_to(
+                jnp.asarray(states[3]["dsp"]["rng"], jnp.uint32), (bsz,))),
+        }
+
+    def call(x_tile, tiles, lanes0):
+        (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
+         fin, acc) = pcall()(pvec, lcg_a, lcg_b, x_tile, tiles["pdsp"],
+                             tiles["sdsp"], tiles["tdsp"], tiles["tmat"],
+                             tiles["trng"], tiles["mmono"], tiles["mchan"],
+                             tiles["mrng"], lanes0)
+        tiles2 = {"pdsp": pdsp_f, "sdsp": sdsp_f, "tdsp": tdsp_f,
+                  "tmat": tmat_f,
+                  # draw count per block is static: closed-form LCG jump
+                  "trng": lcg_advance(tiles["trng"], c * n),
+                  "mmono": mmono_f, "mchan": mchan_f, "mrng": mrng_f}
+        return out, tiles2, fin, acc
+
+    def unpack(tiles, states0):
+        fast_f, slow_f = sk.tiles_to_state(tiles["pdsp"], bsz, c, 2)
+        (tone_f,) = sk.tiles_to_state(tiles["sdsp"], bsz, c, 1)
+        tex_leaves = sk.tiles_to_state(tiles["tdsp"], bsz, c, 9)
+        mat_out = sk.tiles_to_state(tiles["tmat"], bsz, c, nmat)
+        tex_dsp = sk.tex_rebuild_dsp(states0[2]["dsp"], tex_leaves, mat_out,
+                                     mode, None, bsz, c, n, sr)
+        # the tiled carry already advanced the LCG once per block
+        tex_dsp["rng"] = sk.tiles_to_mono(tiles["trng"], bsz, 1)[0]
+        mono_out = sk.tiles_to_mono(tiles["mmono"], bsz, 11)
+        lp_f, tail_f, prev_f = sk.tiles_to_state(tiles["mchan"], bsz, c, 3)
+        return {
+            "punch": {"fast_env": fast_f, "slow_env": slow_f},
+            "saturator": {"tone_state": tone_f},
+            "texture": tex_dsp,
+            "motion": sk.motion_rebuild_dsp(
+                mono_out, sk.tiles_to_mono(tiles["mrng"], bsz, 1)[0],
+                lp_f, tail_f, prev_f),
+        }
+
+    return pack, call, unpack
+
+
+def _back_machinery(chain, states0, bsz: int, unroll: int, interpret: bool):
+    """Static setup for the back kernel (width -> cohere -> infer)."""
+    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
+    c, n, sr = chain.channels, chain.block_size, chain.sr
+    csub = c * msub
+    grid = bsz // tile
+    w_params = chain.plugins[4].full_params(chain.params[4])
     co_params = chain.plugins[5].full_params(chain.params[5])
     in_params = chain.plugins[6].full_params(chain.params[6])
-    co = states[5]["dsp"]
+    D = states0[4]["dsp"]["haas_window"].shape[-1]
+    if (D * msub) % 8:
+        raise ChainKernelUnsupported(
+            f"haas window size {D} breaks row alignment (D*MSUB % 8 != 0)")
+    if D < n:
+        raise ChainKernelUnsupported(
+            f"haas window {D} shorter than block {n}")
 
+    # delaySamples = int(sr * (haasMs · 0.001f)) — float32 product,
+    # truncated toward zero (cpp:92), matching models/width.py
+    delay = (jnp.float32(sr) * (jnp.asarray(w_params["haasMs"], jnp.float32)
+                                * jnp.float32(0.001))).astype(jnp.int32)
     pv = [*sk._lane_consts(sr),
+          jnp.asarray(w_params["width"], jnp.float32),
+          jmap(w_params["monoSafe"], 1.0, 0.35),
+          jnp.asarray(w_params["mix"], jnp.float32),
+          db_to_gain(w_params["output"]),
+          delay.astype(jnp.float32),
           onepole_coeff(220.0, sr), onepole_coeff(2400.0, sr),
           jnp.asarray(co_params["match"], jnp.float32),
           jnp.asarray(co_params["learn"], jnp.float32),
@@ -683,61 +918,114 @@ def _back_step(chain, states, x5, width_pre_fin, unroll: int,
           jnp.float32(1.0 / max(1, n))]
     pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
 
-    x = sk.to_stream(x5)
-    cmono = sk.mono_to_tiles([
-        jnp.broadcast_to(jnp.asarray(co[k], jnp.float32), (bsz,))
-        for k in ("analysis_low", "analysis_high", "target_low",
-                  "target_mid", "target_high")])
-    ctail = sk.state_to_tiles([jnp.broadcast_to(
-        jnp.asarray(co["tail"], jnp.float32), (bsz, c))])
-    lanes0 = jnp.concatenate(
-        [width_pre_fin,
-         sk.pack_lane(states[5]["analyzer"], bsz),
-         sk.pack_lane(states[6]["analyzer"], bsz)], axis=1)
+    kernel = functools.partial(_back_kernel, n, c, unroll, D)
 
-    grid = bsz // tile
-    kernel = functools.partial(_back_kernel, n, c, unroll)
-
-    def wrapped(params_ref, *refs):
-        kernel(params_ref, *[r.at[0] for r in refs])
+    def wrapped(params_ref, x_ref, win_ref, cmono_ref, ctail_ref, lanes_ref,
+                out_ref, newwin_ref, cmono_out, ctail_out, fin_ref, acc_ref,
+                x5_ref, window_ref, dma_sem):
+        kernel(params_ref, x_ref.at[0], win_ref, cmono_ref.at[0],
+               ctail_ref.at[0], lanes_ref.at[0], out_ref.at[0], newwin_ref,
+               cmono_out.at[0], ctail_out.at[0], fin_ref.at[0],
+               acc_ref.at[0], x5_ref, window_ref, dma_sem)
 
     def smem(w):
         return pl.BlockSpec((1, w), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
     ts = sk._tilespec
-    out, cmono_f, ctail_f, fin, acc = pl.pallas_call(
-        wrapped,
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    pcall = functools.partial(
+        pl.pallas_call, wrapped,
         grid=(grid,),
-        in_specs=[smem(pvec.shape[1]), ts(n * csub), ts(5 * msub), ts(csub),
-                  ts(15 * msub)],
-        out_specs=[ts(n * csub), ts(6 * msub), ts(csub), ts(25 * msub),
-                   ts(50 * msub)],
+        in_specs=[smem(pvec.shape[1]), ts(n * csub), anyspec, ts(5 * msub),
+                  ts(csub), ts(15 * msub)],
+        out_specs=[ts(n * csub), anyspec, ts(6 * msub), ts(csub),
+                   ts(25 * msub), ts(50 * msub)],
         out_shape=[
             jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, D * msub, lanes_n), jnp.float32),
             jax.ShapeDtypeStruct((grid, 6 * msub, lanes_n), jnp.float32),
             jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
             jax.ShapeDtypeStruct((grid, 25 * msub, lanes_n), jnp.float32),
             jax.ShapeDtypeStruct((grid, 50 * msub, lanes_n), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+            pltpu.VMEM(((D + n) * msub + 8, lanes_n), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(pvec, x, cmono, ctail, lanes0)
+    )
 
-    out_bcn = sk.from_stream(out, bsz, c)
-    mono = sk.tiles_to_mono(cmono_f, bsz, 6)
-    (tail_leaf,) = sk.tiles_to_state(ctail_f, bsz, c, 1)
-    co_dsp = {
-        "analysis_low": mono[0], "analysis_high": mono[1],
-        "target_low": mono[2], "target_mid": mono[3],
-        "target_high": mono[4], "tail": tail_leaf,
-        "context_fit": mono[5],
-    }
-    return out_bcn, co_dsp, fin, acc
+    def pack(states):
+        window = jnp.asarray(states[4]["dsp"]["haas_window"], jnp.float32)
+        co = states[5]["dsp"]
+        return {
+            "win": sk.to_stream(window[:, None, :]),
+            "cmono": sk.mono_to_tiles([
+                jnp.broadcast_to(jnp.asarray(co[k], jnp.float32), (bsz,))
+                for k in ("analysis_low", "analysis_high", "target_low",
+                          "target_mid", "target_high")]),
+            "ctail": sk.state_to_tiles([jnp.broadcast_to(
+                jnp.asarray(co["tail"], jnp.float32), (bsz, c))]),
+        }
+
+    def call(x_tile, tiles, lanes0):
+        out, newwin, cmono_f, ctail_f, fin, acc = pcall()(
+            pvec, x_tile, tiles["win"], tiles["cmono"], tiles["ctail"],
+            lanes0)
+        # cmono carry rows: analysis_low/high + targets; context_fit rides
+        # row 5 of the output only
+        tiles2 = {"win": newwin, "cmono": cmono_f[:, :5 * msub, :],
+                  "ctail": ctail_f}
+        return out, tiles2, cmono_f, fin, acc
+
+    def unpack(tiles, cmono_full):
+        new_window = sk.from_stream(tiles["win"], bsz, 1)[:, 0, :]
+        mono = sk.tiles_to_mono(cmono_full, bsz, 6)
+        (tail_leaf,) = sk.tiles_to_state(tiles["ctail"], bsz, c, 1)
+        width_dsp = {"haas_window": new_window}
+        co_dsp = {
+            "analysis_low": mono[0], "analysis_high": mono[1],
+            "target_low": mono[2], "target_mid": mono[3],
+            "target_high": mono[4], "tail": tail_leaf,
+            "context_fit": mono[5],
+        }
+        return width_dsp, co_dsp
+
+    return pack, call, unpack
 
 
-# ---------------------------------------------------------------------------
-# Orchestration
-# ---------------------------------------------------------------------------
+def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
+                    bsz, n, sr):
+    """Per-block lane finalize: analyzer states advance, metrics emerge.
+    `cohere_cf` is the block's context-fit tile row ([B])."""
+    from juicy_tpu.runtime.plugin import _default_finalize
+
+    lane_map = [
+        (ffin, facc, 0, 1), (ffin, facc, 2, 3), (ffin, facc, 4, 5),
+        (ffin, facc, 6, 7), None, (bfin, bacc, 1, 2), (bfin, bacc, 3, 4),
+    ]
+    new_an, metrics_list = [], []
+    for i, plug in enumerate(chain.plugins):
+        if i == 4:
+            pre = _lane_slices(ffin, facc, 8)
+            post = _lane_slices(bfin, bacc, 0)
+        else:
+            fin, acc, pre_idx, post_idx = lane_map[i]
+            pre = _lane_slices(fin, acc, pre_idx)
+            post = _lane_slices(fin, acc, post_idx)
+        pre_state, pre_m = sk.finalize_lane(pre[0], pre[1], an_states[i],
+                                            bsz, n, sr)
+        post_state, post_m = sk.finalize_lane(post[0], post[1], pre_state,
+                                              bsz, n, sr)
+        new_an.append(post_state)
+        finalize = plug.defn.finalize_metrics or _default_finalize
+        carry = {"context_fit": cohere_cf} if i == 5 else None
+        metrics_list.append(finalize(plug.full_params(chain.params[i]),
+                                     pre_m, post_m, carry))
+    return new_an, metrics_list
+
 
 def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
                       block: jnp.ndarray, unroll: int = 8,
@@ -745,8 +1033,6 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     """One block [B, C, N] through the whole 7-plugin chain on the kernel
     path. Same contract as runtime.chain_fused.fused_chain_step with
     metrics="blocks": returns (out, new_states, metrics_list)."""
-    from juicy_tpu.runtime.plugin import _default_finalize
-
     mode = _check_chain(chain)
     block = jnp.asarray(block, jnp.float32)
     if block.ndim != 3:
@@ -761,84 +1047,120 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
         raise ChainKernelUnsupported(f"block {n} not divisible by "
                                      f"unroll {unroll}")
     sr = chain.sr
+    states = list(states)
 
-    x4, front_dsp, ffin, facc = _front_step(chain, states, block, mode,
-                                            unroll, interpret)
-    width_params = chain.plugins[4].full_params(chain.params[4])
-    x5, width_dsp = _width.process(width_params, states[4]["dsp"], x4, sr)
-    wfin, _wacc = _lane_slices(ffin, facc, 8)
-    out, co_dsp, bfin, bacc = _back_step(chain, states, x5, wfin, unroll,
-                                         interpret)
+    fpack, fcall, funpack = _front_machinery(chain, states, mode, bsz,
+                                             unroll, interpret)
+    bpack, bcall, bunpack = _back_machinery(chain, states, bsz, unroll,
+                                            interpret)
+    an_states = [states[i]["analyzer"] for i in range(7)]
 
+    ftiles = fpack(states)
+    btiles = bpack(states)
+    lanes0f = jnp.concatenate(
+        [sk.pack_lane(an_states[i], bsz) for i in range(5)], axis=1)
+    x4_t, ftiles, ffin, facc = fcall(sk.to_stream(block), ftiles, lanes0f)
+    wfin, _ = _lane_slices(ffin, facc, 8)
+    lanes0b = jnp.concatenate(
+        [wfin, sk.pack_lane(an_states[5], bsz),
+         sk.pack_lane(an_states[6], bsz)], axis=1)
+    out_t, btiles, cmono_full, bfin, bacc = bcall(x4_t, btiles, lanes0b)
+
+    front_dsp = funpack(ftiles, states)
+    width_dsp, co_dsp = bunpack(btiles, cmono_full)
     dsp_list = [front_dsp["punch"], front_dsp["saturator"],
                 front_dsp["texture"], front_dsp["motion"],
                 width_dsp, co_dsp, states[6]["dsp"]]
-
-    # (fin, acc, pre-slot, post-slot) per stage
-    lane_map = [
-        (ffin, facc, 0, 1), (ffin, facc, 2, 3), (ffin, facc, 4, 5),
-        (ffin, facc, 6, 7),
-        None,                       # width: pre in front, post in back
-        (bfin, bacc, 1, 2), (bfin, bacc, 3, 4),
-    ]
-    new_states: List[Dict[str, Any]] = []
-    metrics_list = []
-    for i, plug in enumerate(chain.plugins):
-        an_state = states[i]["analyzer"]
-        if i == 4:
-            pre = _lane_slices(ffin, facc, 8)
-            post = _lane_slices(bfin, bacc, 0)
-        else:
-            fin, acc, pre_idx, post_idx = lane_map[i]
-            pre = _lane_slices(fin, acc, pre_idx)
-            post = _lane_slices(fin, acc, post_idx)
-        pre_state, pre_m = sk.finalize_lane(pre[0], pre[1], an_state,
-                                            bsz, n, sr)
-        post_state, post_m = sk.finalize_lane(post[0], post[1], pre_state,
-                                              bsz, n, sr)
-        new_states.append({"analyzer": post_state, "dsp": dsp_list[i]})
-        finalize = plug.defn.finalize_metrics or _default_finalize
-        metrics_list.append(finalize(plug.full_params(chain.params[i]),
-                                     pre_m, post_m, dsp_list[i]))
-    return out, new_states, metrics_list
+    new_an, metrics_list = _finalize_block(
+        chain, an_states, ffin, facc, bfin, bacc, co_dsp["context_fit"],
+        bsz, n, sr)
+    new_states = [{"analyzer": a, "dsp": d}
+                  for a, d in zip(new_an, dsp_list)]
+    return sk.from_stream(out_t, bsz, c), new_states, metrics_list
 
 
 def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
                         unroll: int = 8, interpret: bool = False):
-    """Stream a [B, C, T] corpus through the kernel chain block-major.
+    """Stream a [B, C, T] corpus through the kernel chain block-major,
+    entirely in kernel-tile layout (states and audio repack exactly once).
     Same contract as runtime.chain_fused.fused_chain_stream."""
+    mode = _check_chain(chain)
     clips = jnp.asarray(clips, jnp.float32)
-    t = clips.shape[-1]
+    if clips.ndim != 3:
+        raise ChainKernelUnsupported(
+            f"chain kernel needs [B, C, T] clips, got {clips.shape}")
+    bsz, c, t = clips.shape
     n = chain.block_size
+    sr = chain.sr
     if t % n:
         raise ValueError(f"clip length {t} not divisible by block size {n}")
+    if bsz % sk.TILE:
+        raise ChainKernelUnsupported(
+            f"batch {bsz} must be a multiple of {sk.TILE}")
+    if n % unroll:
+        raise ChainKernelUnsupported(f"block {n} not divisible by "
+                                     f"unroll {unroll}")
     nb = t // n
-    blocks = jnp.moveaxis(clips.reshape(clips.shape[:-1] + (nb, n)), -2, 0)
+    states = list(states)
 
-    def step(sts, blk):
-        return chain_kernel_step(chain, sts, blk, unroll=unroll,
-                                 interpret=interpret)
+    fpack, fcall, funpack = _front_machinery(chain, states, mode, bsz,
+                                             unroll, interpret)
+    bpack, bcall, bunpack = _back_machinery(chain, states, bsz, unroll,
+                                            interpret)
 
-    if metrics == "blocks":
-        def scan_step(sts, blk):
-            out, sts, m = step(sts, blk)
-            return sts, (out, m)
-        states, (outs, ms) = jax.lax.scan(scan_step, list(states), blocks)
-    elif metrics == "final":
-        out0, states, m0 = step(list(states), blocks[0])
+    # ONE layout pass over the whole corpus: [B, C, T] -> [nb, G, rows, 128]
+    blocks = jnp.moveaxis(clips.reshape(bsz, c, nb, n), 2, 0)
+    x_tiles = jax.vmap(sk.to_stream)(blocks)
 
-        def scan_step(carry, blk):
-            sts, _ = carry
-            out, sts, m = step(sts, blk)
-            return (sts, m), out
-        (states, ms), outs_rest = jax.lax.scan(scan_step, (states, m0),
-                                               blocks[1:])
-        outs = jnp.concatenate([out0[None], outs_rest], axis=0)
-    else:   # "none": lanes still run in-kernel (they are ~free); drop them
-        def scan_step(sts, blk):
-            out, sts, _ = step(sts, blk)
-            return sts, out
-        states, outs = jax.lax.scan(scan_step, list(states), blocks)
-        ms = None
-    out = jnp.moveaxis(outs, 0, -2).reshape(clips.shape)
-    return out, states, ms
+    an0 = [states[i]["analyzer"] for i in range(7)]
+    carry0 = (fpack(states), bpack(states), an0)
+
+    def body(carry, x_t):
+        ftiles, btiles, an_states = carry
+        lanes0f = jnp.concatenate(
+            [sk.pack_lane(an_states[i], bsz) for i in range(5)], axis=1)
+        x4_t, ftiles, ffin, facc = fcall(x_t, ftiles, lanes0f)
+        wfin, _ = _lane_slices(ffin, facc, 8)
+        lanes0b = jnp.concatenate(
+            [wfin, sk.pack_lane(an_states[5], bsz),
+             sk.pack_lane(an_states[6], bsz)], axis=1)
+        out_t, btiles, cmono_full, bfin, bacc = bcall(x4_t, btiles, lanes0b)
+        cf = sk.tiles_to_mono(cmono_full[:, 5 * sk.MSUB:6 * sk.MSUB, :],
+                              bsz, 1)[0]
+        new_an, metrics_list = _finalize_block(
+            chain, an_states, ffin, facc, bfin, bacc, cf, bsz, n, sr)
+        return (ftiles, btiles, new_an), (out_t, metrics_list, cmono_full)
+
+    if metrics == "final":
+        carry, (out0_t, m0, cm0) = body(carry0, x_tiles[0])
+
+        def scan_step(c2, x_t):
+            carry, _m, _cm = c2[0], c2[1], c2[2]
+            carry, (out_t, m, cm) = body(carry, x_t)
+            return (carry, m, cm), out_t
+        (carry, ms, cmono_full), outs_rest = jax.lax.scan(
+            scan_step, (carry, m0, cm0), x_tiles[1:])
+        out_tiles = jnp.concatenate([out0_t[None], outs_rest], axis=0)
+    else:
+        def scan_step(carry, x_t):
+            carry, (out_t, m, cm) = body(carry, x_t)
+            return carry, (out_t, m, cm)
+        carry, (out_tiles, ms, cms) = jax.lax.scan(scan_step, carry0,
+                                                   x_tiles)
+        cmono_full = jax.tree.map(lambda v: v[-1], cms)
+        if metrics == "none":
+            ms = None
+
+    ftiles, btiles, an_f = carry
+    front_dsp = funpack(ftiles, states)
+    width_dsp, co_dsp = bunpack(btiles, cmono_full)
+    dsp_list = [front_dsp["punch"], front_dsp["saturator"],
+                front_dsp["texture"], front_dsp["motion"],
+                width_dsp, co_dsp, states[6]["dsp"]]
+    new_states = [{"analyzer": a, "dsp": d}
+                  for a, d in zip(an_f, dsp_list)]
+
+    # ONE layout pass back: [nb, G, rows, 128] -> [B, C, T]
+    outs = jax.vmap(lambda o: sk.from_stream(o, bsz, c))(out_tiles)
+    out = jnp.moveaxis(outs, 0, 2).reshape(bsz, c, t)
+    return out, new_states, ms

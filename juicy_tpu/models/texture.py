@@ -650,20 +650,22 @@ def _material_substep_traced(p, sr: float, L: int):
     return extract, step, pack
 
 
-def process_traced(params, carry, block, sr: float):
-    """Texture with a TRACED material index — one compiled step serves
-    mixed-material corpora (vmap `material` over the batch). Selected values
-    are bit-identical to the static-material branches; costs ~2x a single
-    material (all substeps computed, shared body amortized)."""
-    block = jnp.asarray(block, jnp.float32)
-    channels, n = block.shape[-2], block.shape[-1]
-
+def traced_block_consts(params, sr: float, L: int):
+    """:func:`block_consts` analog for a TRACED (possibly per-clip batched)
+    material index: returns (consts, extract, mat_step, pack). Per-clip
+    trims and the material selector broadcast against the trailing channel
+    axis, so the body works both per-clip (vmap / process_traced) and on
+    [B, C] sample lanes (the fused chain executor's mixed-material lane)."""
     material = jnp.clip(jnp.asarray(params.get("material", 0), jnp.int32),
                         0, 4)
-    mm = material[..., None] if material.ndim else material  # per-channel
 
-    in_trim = jnp.take(jnp.asarray(MATERIAL_INPUT_TRIM, jnp.float32), material)
-    mat_trim = jnp.take(jnp.asarray(MATERIAL_TRIM, jnp.float32), material)
+    def bb(v):
+        return v[..., None] if jnp.ndim(v) else v
+
+    in_trim = bb(jnp.take(jnp.asarray(MATERIAL_INPUT_TRIM, jnp.float32),
+                          material))
+    mat_trim = bb(jnp.take(jnp.asarray(MATERIAL_TRIM, jnp.float32),
+                           material))
 
     tail_shape = jnp.asarray(params["tailshape"], jnp.float32)
     damping = jnp.asarray(params["damping"], jnp.float32)
@@ -685,15 +687,30 @@ def process_traced(params, carry, block, sr: float):
         auto_gain_base=jmap(texture, 0.78, 0.54),
         in_trim=in_trim, mat_trim=mat_trim)
 
-    white, new_rng = block_noise(carry["rng"], channels, n)
     mp = dict(texture=texture, tailshape=tail_shape, damping_amt=damping_amt,
               damping_mul=jmap(damping_amt, 1.35, 0.40), weight=weight)
-    extract, mat_step, pack = _material_substep_traced(
-        mp, sr, carry["waveguide"].shape[-1])
+    extract, mat_step0, pack = _material_substep_traced(mp, sr, L)
+    mm = bb(material)
 
-    base_step = make_sample_step(
-        consts, lambda mat, core, impact, body, trail, hp:
-        mat_step(mat, core, impact, body, trail, hp, mm))
+    def mat_step(mat, core, impact, body, trail, hp):
+        return mat_step0(mat, core, impact, body, trail, hp, mm)
+
+    return consts, extract, mat_step, pack
+
+
+def process_traced(params, carry, block, sr: float):
+    """Texture with a TRACED material index — one compiled step serves
+    mixed-material corpora (vmap `material` over the batch, or pass a
+    per-clip array). Selected values are bit-identical to the corresponding
+    static-material branches; costs ~2x a single material (all substeps
+    computed, shared body amortized)."""
+    block = jnp.asarray(block, jnp.float32)
+    channels, n = block.shape[-2], block.shape[-1]
+
+    consts, extract, mat_step, pack = traced_block_consts(
+        params, sr, carry["waveguide"].shape[-1])
+    white, new_rng = block_noise(carry["rng"], channels, n)
+    base_step = make_sample_step(consts, mat_step)
 
     init_c = extract_scan_carry(carry, extract)
     xs = (jnp.moveaxis(block, -1, 0), jnp.moveaxis(white, -1, 0))

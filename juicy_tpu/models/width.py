@@ -42,8 +42,16 @@ PRESETS = (
 
 
 def delay_buffer_size(sr: float) -> int:
-    """60 ms ring buffer (cpp:38-39)."""
-    return max(1, int(sr * 0.060))
+    """Haas history window size.
+
+    The reference allocates a 60 ms ring (cpp:38-39) but the read head
+    never trails the write head by more than ``int(sr·0.035)`` samples
+    (haasMs ≤ 35 ms, cpp:92); the window carry only needs that reachable
+    history. Sized with headroom and rounded to a multiple of 8 so the
+    kernel path's row tiles stay store-aligned (kernels/chain_kernel.py).
+    """
+    d = int(sr * 0.035) + 16
+    return max(8, (d + 7) // 8 * 8)
 
 
 def init(sr: float, channels: int):

@@ -244,17 +244,26 @@ def _fuse_saturator(ex, params, state, in_s, out_s, channels, sr):
 
 def _fuse_texture(ex, params, state, in_s, out_s, channels, sr):
     mode = _texture.static_material(params)
-    if mode is None:
-        raise NotImplementedError("fused chain needs a static texture material")
-    mode = max(0, min(4, mode))
     n = ex.n
     if jnp.ndim(state["rng"]) == 0:
         white, new_rng = _texture.block_noise(state["rng"], channels, n)
     else:   # batched corpus: one LCG stream per clip
         white, new_rng = jax.vmap(
             lambda r: _texture.block_noise(r, channels, n))(state["rng"])
-    consts, extract, mat_step, pack = _texture.block_consts(
-        params, sr, mode, state["waveguide"].shape[-1])
+    L = state["waveguide"].shape[-1]
+    if mode is None:
+        # TRACED material (Plugin.with_traced("material")): every material
+        # substep computed per sample, lane-selected per clip — one jit
+        # serves mixed-material batches (each DAW track picks its own
+        # material, JuicyTexture/PluginProcessor.cpp:325-337).
+        # Group-by-material (parallel/grouping.py) stays the fast path for
+        # static corpora.
+        consts, extract, mat_step, pack = _texture.traced_block_consts(
+            params, sr, L)
+    else:
+        mode = max(0, min(4, mode))
+        consts, extract, mat_step, pack = _texture.block_consts(
+            params, sr, mode, L)
     tex_step = _texture.make_sample_step(consts, mat_step)
     white_s = out_s + "_white"
     ex.add_stream(white_s, white)

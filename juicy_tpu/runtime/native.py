@@ -29,6 +29,13 @@ class WavInfo(ctypes.Structure):
                 ("bits", ctypes.c_int32)]
 
 
+class HostStats(ctypes.Structure):
+    _fields_ = [("blocks_pushed", ctypes.c_int64),
+                ("blocks_popped", ctypes.c_int64),
+                ("push_retries", ctypes.c_int64),
+                ("elapsed_s", ctypes.c_double)]
+
+
 def _build() -> bool:
     try:
         subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -75,6 +82,13 @@ def load_library(force_rebuild: bool = False) -> Optional[ctypes.CDLL]:
                                    ctypes.POINTER(ctypes.c_float),
                                    ctypes.c_int64]
     lib.juicy_ring_pop.restype = ctypes.c_int
+    lib.juicy_host_stream.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_double,
+                                      ctypes.POINTER(HostStats)]
+    lib.juicy_host_stream.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -157,3 +171,29 @@ class RingBuffer:
             self.close()
         except Exception:
             pass
+
+
+def host_stream(in_ring: "RingBuffer", out_ring: "RingBuffer",
+                wav_path: str, out_path: str, channels: int, block: int,
+                sr: int, realtime: bool = False,
+                timeout_s: float = 60.0) -> dict:
+    """Run the NATIVE host shim (native/juicyio.cpp juicy_host_stream): the
+    audio-callback side of the ring protocol, streaming a WAV through a
+    running bridge and writing the rendered WAV. Blocks until the stream
+    drains; call from a worker thread (ctypes releases the GIL, so the
+    exchange crosses a real native-thread boundary) while a HostBridge
+    pumps the TPU side. Returns push/pop/pacing stats."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    stats = HostStats()
+    rc = lib.juicy_host_stream(
+        in_ring._ptr, out_ring._ptr, wav_path.encode(), out_path.encode(),
+        channels, block, int(sr), 1 if realtime else 0,
+        float(timeout_s), ctypes.byref(stats))
+    if rc != 0:
+        raise IOError(f"juicy_host_stream failed: {rc}")
+    return {"blocks_pushed": int(stats.blocks_pushed),
+            "blocks_popped": int(stats.blocks_popped),
+            "push_retries": int(stats.push_retries),
+            "elapsed_s": float(stats.elapsed_s)}

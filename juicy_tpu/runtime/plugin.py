@@ -61,14 +61,31 @@ class Plugin:
         # Explicit constructor state — not a mutation side channel.
         self._static: Dict[str, int] = dict(static or {})
 
+    _traced: frozenset = frozenset()
+
     def with_static(self, **static) -> "Plugin":
         """A new Plugin bound to updated static params (e.g.
         ``plug.with_static(material=2)``) — the immutable alternative to
         mutating an instance between calls."""
         merged = dict(self._static)
         merged.update({k: int(v) for k, v in static.items()})
-        return Plugin(self.defn, self.sr, self.channels, self.block_size,
+        plug = Plugin(self.defn, self.sr, self.channels, self.block_size,
                       static=merged)
+        plug._traced = self._traced
+        return plug
+
+    def with_traced(self, *names: str) -> "Plugin":
+        """A new Plugin whose listed static params stay TRACED: they remain
+        in the params dict instead of being split into compile-time
+        constants. E.g. ``Plugin("texture").with_traced("material")`` lets a
+        batched caller (corpus vmap, StreamServer param rows) pick the
+        material per clip/stream through the traced-material texture path
+        (models/texture.py process_traced)."""
+        plug = Plugin(self.defn, self.sr, self.channels, self.block_size,
+                      static={k: v for k, v in self._static.items()
+                              if k not in names})
+        plug._traced = self._traced | frozenset(names)
+        return plug
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -126,18 +143,20 @@ class Plugin:
             self._program_names = names
 
     def _split_static(self, params):
-        """Pull static_params out as concrete python values."""
+        """Pull static_params out as concrete python values (params marked
+        traced via with_traced stay in the traced dict)."""
         traced = dict(params)
         static = {}
         for key in self.defn.static_params:
-            if key in traced:
+            if key in traced and key not in self._traced:
                 static[key] = int(jax.device_get(traced.pop(key)))
         self._static.update(static)
         return traced, static
 
     def full_params(self, params):
         merged = dict(params)
-        merged.update(self._static)
+        merged.update({k: v for k, v in self._static.items()
+                       if k not in self._traced})
         return merged
 
     # -- the hot path ------------------------------------------------------

@@ -9,9 +9,11 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -216,6 +218,113 @@ int juicy_ring_pop(JuicyRing* r, float* dst, int64_t n) {
   const int64_t mask = r->capacity - 1;
   for (int64_t i = 0; i < n; ++i) dst[i] = r->data[(tail + i) & mask];
   r->tail.store(tail + n, std::memory_order_release);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Native host shim — the audio-callback side of the ring protocol (the
+// Standalone-format analog, reference CMakeLists.txt:34). Streams a WAV
+// through a running bridge: pushes interleaved [N, C] input blocks into
+// `in_ring` (paced at 1x when realtime != 0, like a host callback), pops
+// rendered blocks from `out_ring`, and writes the result WAV. This proves
+// end-to-end that a thin JUCE shim needs only juicy_ring_push/pop from its
+// processBlock (runtime/host_bridge.py pumps the TPU side of the rings).
+//
+// Runs synchronously on the calling thread; Python callers invoke it from
+// a worker thread (ctypes releases the GIL), so the exchange crosses a real
+// native-thread boundary through the lock-free rings.
+// ---------------------------------------------------------------------------
+
+struct JuicyHostStats {
+  int64_t blocks_pushed;
+  int64_t blocks_popped;
+  int64_t push_retries;      // input ring full (backpressure waits)
+  double elapsed_s;
+};
+
+int juicy_host_stream(JuicyRing* in_ring, JuicyRing* out_ring,
+                      const char* wav_path, const char* out_path,
+                      int32_t channels, int32_t block, int32_t sr,
+                      int32_t realtime, double timeout_s,
+                      JuicyHostStats* stats) {
+  using clock = std::chrono::steady_clock;
+  WavInfo info;
+  if (juicy_wav_info(wav_path, &info) != 0) return -1;
+  const int64_t frames = info.frames;
+  const int64_t nb = (frames + block - 1) / block;
+  const int64_t padded = nb * block;
+  std::vector<float> in_planar((size_t)(padded * channels), 0.0f);
+  if (juicy_wav_read(wav_path, in_planar.data(), padded, channels) != 0)
+    return -2;
+  std::vector<float> out_planar((size_t)(padded * channels), 0.0f);
+  std::vector<float> inter((size_t)block * channels);
+
+  const int64_t blk_floats = (int64_t)block * channels;
+  int64_t pushed = 0, popped = 0, retries = 0;
+  const auto t0 = clock::now();
+  const double block_s = (double)block / (double)sr;
+
+  auto elapsed = [&]() {
+    return std::chrono::duration<double>(clock::now() - t0).count();
+  };
+  auto pop_ready = [&]() {
+    while (popped < pushed &&
+           juicy_ring_readable(out_ring) >= blk_floats) {
+      if (juicy_ring_pop(out_ring, inter.data(), blk_floats) != 0) break;
+      float* dst = out_planar.data();
+      const int64_t off = popped * block;
+      for (int i = 0; i < block; ++i)
+        for (int c = 0; c < channels; ++c)
+          dst[(size_t)c * padded + off + i] = inter[(size_t)i * channels + c];
+      ++popped;
+    }
+  };
+
+  for (int64_t b = 0; b < nb; ++b) {
+    if (realtime) {   // host-callback cadence: one block per block period
+      const double target = (double)b * block_s;
+      while (elapsed() < target)
+        std::this_thread::sleep_for(std::chrono::microseconds(100));
+    }
+    // interleave [C][T] planar -> [N, C] frames
+    const int64_t off = b * block;
+    for (int i = 0; i < block; ++i)
+      for (int c = 0; c < channels; ++c)
+        inter[(size_t)i * channels + c] =
+            in_planar[(size_t)c * padded + off + i];
+    while (juicy_ring_push(in_ring, inter.data(), blk_floats) != 0) {
+      ++retries;                       // backpressure: consumer behind
+      if (elapsed() > timeout_s) return -3;
+      std::this_thread::sleep_for(std::chrono::microseconds(200));
+    }
+    ++pushed;
+    pop_ready();
+  }
+  while (popped < pushed) {            // drain the tail of the pipeline
+    if (elapsed() > timeout_s) return -4;
+    pop_ready();
+    if (popped < pushed)
+      std::this_thread::sleep_for(std::chrono::microseconds(200));
+  }
+
+  if (stats) {
+    stats->blocks_pushed = pushed;
+    stats->blocks_popped = popped;
+    stats->push_retries = retries;
+    stats->elapsed_s = elapsed();
+  }
+  if (out_path && out_path[0]) {
+    // write only the original frame count (drop padding), planar layout —
+    // but out_planar strides by `padded`, so compact first
+    std::vector<float> trimmed((size_t)frames * channels);
+    for (int c = 0; c < channels; ++c)
+      memcpy(trimmed.data() + (size_t)c * frames,
+             out_planar.data() + (size_t)c * padded,
+             sizeof(float) * (size_t)frames);
+    if (juicy_wav_write_f32(out_path, trimmed.data(), frames, channels,
+                            sr) != 0)
+      return -5;
+  }
   return 0;
 }
 

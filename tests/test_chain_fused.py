@@ -195,3 +195,32 @@ def test_fused_mono_chain(rng):
     out_f, _, _ = fused_chain_stream(ch, ch.init_state(), jnp.asarray(clip),
                                      unroll=1)
     assert residual_dbfs(np.asarray(out_f), np.asarray(out_ref)) <= -90.0
+
+
+def test_fused_mixed_materials(rng):
+    """Mixed-material batch through the fused executor: a traced-material
+    texture stage (Plugin.with_traced) renders each clip with ITS OWN
+    material in one jit, matching per-material static runs — each DAW track
+    picks its own material (JuicyTexture/PluginProcessor.cpp:325-337)."""
+    mats = [0, 1, 4, 2]          # gel, metal, flesh, wood in one batch
+    b = len(mats)
+    ch = Chain([("punch", "Solar Snap"), ("texture", None),
+                ("infer", None)], sr=SR, channels=2, block_size=BLOCK)
+    ch.plugins[1] = ch.plugins[1].with_traced("material")
+    ch.params[1]["material"] = jnp.asarray(mats, jnp.float32)
+    clips = _clips(rng, b=b, nb=3)
+    states = jax.vmap(lambda _: ch.init_state())(jnp.arange(b))
+    out_mixed, _, ms = fused_chain_stream(ch, states, jnp.asarray(clips),
+                                          unroll=1)
+
+    # reference: one static-material chain per clip
+    for i, m in enumerate(mats):
+        ch_i = Chain([("punch", "Solar Snap"),
+                      ("texture", dict(material=float(m))),
+                      ("infer", None)], sr=SR, channels=2, block_size=BLOCK)
+        st_i = jax.vmap(lambda _: ch_i.init_state())(jnp.arange(1))
+        want, _, _ = fused_chain_stream(ch_i, st_i,
+                                        jnp.asarray(clips[i:i + 1]),
+                                        unroll=1)
+        db = residual_dbfs(np.asarray(out_mixed[i]), np.asarray(want[0]))
+        assert db <= -90.0, f"material {m} diverges in mixed batch: {db:.1f}"

@@ -136,3 +136,36 @@ def test_stream_server_all_stage_metrics(rng):
     for row in stages:
         assert 0.0 <= row["score"] <= 100.0
     assert res[a]["score"] == pytest.approx(stages[-1]["score"])
+
+
+def test_stream_server_per_stream_materials(rng):
+    """Tenants pick their own texture material: a traced-material texture
+    stage makes `material` a regular per-slot parameter row."""
+    import jax
+    chain = Chain([("punch", None), ("texture", None), ("infer", None)],
+                  sr=SR, channels=2, block_size=BLOCK)
+    chain.plugins[1] = chain.plugins[1].with_traced("material")
+    chain.params[1]["material"] = jnp.float32(0.0)
+    server = StreamServer(chain, max_streams=2)
+    clip = make_clip(rng, 2, BLOCK * 2)
+
+    a = server.open_stream()        # gel (default)
+    b = server.open_stream()
+    server.set_params(b, "texture", material=1.0)   # metal
+    got_a, got_b = [], []
+    for k in range(2):
+        blk = clip[:, k * BLOCK:(k + 1) * BLOCK]
+        server.submit(a, blk)
+        server.submit(b, blk)
+        res = server.tick()
+        got_a.append(res[a]["audio"])
+        got_b.append(res[b]["audio"])
+
+    for mat, got in ((0.0, got_a), (1.0, got_b)):
+        ch = Chain([("punch", None), ("texture", dict(material=mat)),
+                    ("infer", None)], sr=SR, channels=2, block_size=BLOCK)
+        want, _, _ = ch.run(ch.init_state(), jnp.asarray(clip))
+        db = residual_dbfs(np.concatenate(got, -1), np.asarray(want))
+        assert db <= -90.0, f"material {mat} stream diverges: {db:.1f} dBFS"
+    assert residual_dbfs(np.concatenate(got_a, -1),
+                         np.concatenate(got_b, -1)) > -40.0
