@@ -30,8 +30,9 @@ Front kernel (per block, per (8,128)-tiled clip batch):
           threads pre → post, JuicinessAnalyzer.h:33-43) + motion pass-2
           ch0;
   loop 3: motion pass-2 ch1 (channel-serial shared state,
-          JuicyMotion/PluginProcessor.cpp:108-115) + channel merge;
-  loop 4: packed motion-POST + width-PRE lanes over the kernel's output.
+          JuicyMotion/PluginProcessor.cpp:108-115), fused with the channel
+          merge (one aligned stereo store per sample) and the packed
+          motion-POST + width-PRE lanes over the assembled output.
 
 Back kernel:
   loop W: serial width shrink (the block-local ``width *= limit`` quirk,
@@ -386,107 +387,106 @@ def _front_kernel(mode, n, c, unroll, sr,
 
     lane_post3 = _lane9_reset(_lane9_pack([lp_p, lp_s, lp_t]))
 
+    def mchan_row(kind, ch):
+        return mchan_ref[(kind * c + ch) * msub:(kind * c + ch + 1) * msub,
+                         :]
+
     # ---- loop 2: packed punch/sat/texture post lanes + motion p2 ch0 ----
-    # ---- loop 3: motion p2 ch1 (channel-serial shared state) ----
-    shared = (mvt0, mvtr0, mvtl0, mphase0)
-    be = mbe0
-    for ch in range(c):
-        off = jnp.float32(0.0) if ch == 0 else jnp.float32(0.85)
-        p2 = _motion.make_p2_step(mo_kc, (vtt_f, vtrt_f, vtlt_f),
-                                  (repetition_scale, recovery), off, sr)
-        lp = mchan_ref[(0 * c + ch) * msub:(0 * c + ch + 1) * msub, :]
-        tail = mchan_ref[(1 * c + ch) * msub:(1 * c + ch + 1) * msub, :]
-        prev = mchan_ref[(2 * c + ch) * msub:(2 * c + ch + 1) * msub, :]
-        carry0 = shared[:3] + (shared[3], lp, tail, prev, be)
-        if ch == 0:
-            carry0 = carry0 + (lane_post3,)
+    p2_0 = _motion.make_p2_step(mo_kc, (vtt_f, vtrt_f, vtlt_f),
+                                (repetition_scale, recovery),
+                                jnp.float32(0.0), sr)
+    carry0 = (mvt0, mvtr0, mvtl0, mphase0, mchan_row(0, 0), mchan_row(1, 0),
+              mchan_row(2, 0), mbe0, lane_post3)
 
-        def loop23(t, carry, ch=ch, p2=p2):
-            if ch == 0:
-                p2c = carry[:8]
-                lane3 = carry[8]
-            else:
-                p2c = carry
-            base = pl.multiple_of(t * unroll * csub, 8)
-            y3chunk = out_ref[pl.ds(base, unroll * csub), :]
-            if ch == 0:
-                y1chunk = y1_ref[pl.ds(base, unroll * csub), :]
-                y2chunk = y2_ref[pl.ds(base, unroll * csub), :]
-            ys = []
-            for u in range(unroll):
-                if ch == 0:
-                    mono_pack = jnp.concatenate(
-                        [mono_of(y1chunk[u * csub:(u + 1) * csub, :]),
-                         mono_of(y2chunk[u * csub:(u + 1) * csub, :]),
-                         mono_of(y3chunk[u * csub:(u + 1) * csub, :])],
-                        axis=0)
-                    lane3 = _lane9_step(lane3, mono_pack, lane_k)
-                d = y3chunk[u * csub + ch * msub:u * csub + (ch + 1) * msub,
-                            :]
-                p2c, y = p2(p2c, d)
-                ys.append(y)
-            sbase = t * unroll * msub
-            if (unroll * msub) % 8 == 0:
-                sbase = pl.multiple_of(sbase, 8)
-            ch_scratch[ch][pl.ds(sbase, unroll * msub), :] = \
-                jnp.concatenate(ys, axis=0)
-            if ch == 0:
-                return p2c + (lane3,)
-            return p2c
+    def loop2(t, carry):
+        p2c = carry[:8]
+        lane3 = carry[8]
+        base = pl.multiple_of(t * unroll * csub, 8)
+        y3chunk = out_ref[pl.ds(base, unroll * csub), :]
+        y1chunk = y1_ref[pl.ds(base, unroll * csub), :]
+        y2chunk = y2_ref[pl.ds(base, unroll * csub), :]
+        ys = []
+        for u in range(unroll):
+            mono_pack = jnp.concatenate(
+                [mono_of(y1chunk[u * csub:(u + 1) * csub, :]),
+                 mono_of(y2chunk[u * csub:(u + 1) * csub, :]),
+                 mono_of(y3chunk[u * csub:(u + 1) * csub, :])], axis=0)
+            lane3 = _lane9_step(lane3, mono_pack, lane_k)
+            d = y3chunk[u * csub:u * csub + msub, :]
+            p2c, y = p2_0(p2c, d)
+            ys.append(y)
+        sbase = t * unroll * msub
+        if (unroll * msub) % 8 == 0:
+            sbase = pl.multiple_of(sbase, 8)
+        ch_scratch[0][pl.ds(sbase, unroll * msub), :] = \
+            jnp.concatenate(ys, axis=0)
+        return p2c + (lane3,)
 
-        carry = jax.lax.fori_loop(0, n // unroll, loop23, carry0)
-        if ch == 0:
-            lane_post3 = carry[8]
-            carry = carry[:8]
-        vt_s, vtr_s, vtl_s, phase_s, lp_f, tail_f, prev_f, be = carry
-        shared = (vt_s, vtr_s, vtl_s, phase_s)
-        mchan_out[(0 * c + ch) * msub:(0 * c + ch + 1) * msub, :] = lp_f
-        mchan_out[(1 * c + ch) * msub:(1 * c + ch + 1) * msub, :] = tail_f
-        mchan_out[(2 * c + ch) * msub:(2 * c + ch + 1) * msub, :] = prev_f
+    carry = jax.lax.fori_loop(0, n // unroll, loop2, carry0)
+    vt_s, vtr_s, vtl_s, phase_s, lp_f0, tail_f0, prev_f0, be = carry[:8]
+    lane_post3 = carry[8]
+    mchan_out[0 * c * msub:(0 * c + 1) * msub, :] = lp_f0
+    mchan_out[(1 * c) * msub:(1 * c + 1) * msub, :] = tail_f0
+    mchan_out[(2 * c) * msub:(2 * c + 1) * msub, :] = prev_f0
 
     pp_p, pp_s, pp_t = _lane9_unpack(lane_post3, 3)
     _store_lane9(pp_p, s_y1, fin_ref, acc_ref, 1)
     _store_lane9(pp_s, s_y2, fin_ref, acc_ref, 3)
     _store_lane9(pp_t, s_y3, fin_ref, acc_ref, 5)
 
-    # ---- merge the per-channel scratches into interleaved sample tiles ----
-    merge_u = max(1, 8 // msub)
+    # ---- loop 3: motion p2 ch1 (channel-serial shared state,
+    # cpp:108-115), fused with the channel merge (ch0 from scratch + ch1
+    # just computed -> one aligned stereo store) and the packed
+    # motion-POST + width-PRE lanes over the assembled output ----
+    p2_1 = _motion.make_p2_step(mo_kc, (vtt_f, vtrt_f, vtlt_f),
+                                (repetition_scale, recovery),
+                                jnp.float32(0.85), sr) if c > 1 else None
+    lane_mw0 = _lane9_pack([_lane9_reset(lp_m),
+                            _lane9_init_at(lanes_ref, (4,))])
+    carry0 = (vt_s, vtr_s, vtl_s, phase_s, mchan_row(0, c - 1),
+              mchan_row(1, c - 1), mchan_row(2, c - 1), be, lane_mw0)
 
-    def merge(t, _):
-        base = pl.multiple_of(t * merge_u * msub, 8)
-        obase = pl.multiple_of(t * merge_u * csub, 8)
-        chunks = [ch_scratch[ch][pl.ds(base, merge_u * msub), :]
-                  for ch in range(c)]
+    def loop3(t, carry):
+        p2c = carry[:8]
+        lane_mw = carry[8]
+        base = pl.multiple_of(t * unroll * csub, 8)
+        y3chunk = out_ref[pl.ds(base, unroll * csub), :]
+        sbase = t * unroll * msub
+        if (unroll * msub) % 8 == 0:
+            sbase = pl.multiple_of(sbase, 8)
+        m0chunk = ch_scratch[0][pl.ds(sbase, unroll * msub), :]
         rows = []
-        for u in range(merge_u):
-            for ch in range(c):
-                rows.append(chunks[ch][u * msub:(u + 1) * msub, :])
-        out_ref[pl.ds(obase, merge_u * csub), :] = jnp.concatenate(rows, 0)
-        return 0
+        for u in range(unroll):
+            y0 = m0chunk[u * msub:(u + 1) * msub, :]
+            if c > 1:
+                d = y3chunk[u * csub + msub:u * csub + 2 * msub, :]
+                p2c, y1ch = p2_1(p2c, d)
+                rows.append(y0)
+                rows.append(y1ch)
+                m = half * (y0 + y1ch)
+            else:
+                rows.append(y0)
+                m = y0
+            lane_mw = _lane9_step(
+                lane_mw, jnp.concatenate([m, m], axis=0), lane_k)
+        out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(rows, 0)
+        return p2c + (lane_mw,)
 
-    jax.lax.fori_loop(0, n // merge_u, merge, 0)
+    carry = jax.lax.fori_loop(0, n // unroll, loop3, carry0)
+    vt_s, vtr_s, vtl_s, phase_s, lp_f1, tail_f1, prev_f1, be = carry[:8]
+    lane_mw = carry[8]
+    if c > 1:
+        mchan_out[(0 * c + 1) * msub:(0 * c + 2) * msub, :] = lp_f1
+        mchan_out[(1 * c + 1) * msub:(1 * c + 2) * msub, :] = tail_f1
+        mchan_out[(2 * c + 1) * msub:(2 * c + 2) * msub, :] = prev_f1
 
-    outs = [env_f, rep_f, be, shared[0], shared[1], shared[2],
-            vtt_f, vtrt_f, vtlt_f, shared[3], cd_f]
+    outs = [env_f, rep_f, be, vt_s, vtr_s, vtl_s,
+            vtt_f, vtrt_f, vtlt_f, phase_s, cd_f]
     for i, v in enumerate(outs):
         mmono_out[i * msub:(i + 1) * msub, :] = v
     mrng_out[...] = rng_f
 
-    # ---- loop 4: packed motion-post + width-pre lanes over the output ----
     s_x4 = _stats_from_rows(out_ref, n, c)
-    lane_mw = _lane9_pack([_lane9_reset(lp_m),
-                           _lane9_init_at(lanes_ref, (4,))])
-
-    def loop4(t, lane_mw):
-        base = pl.multiple_of(t * unroll * csub, 8)
-        chunk = out_ref[pl.ds(base, unroll * csub), :]
-        for u in range(unroll):
-            m = mono_of(chunk[u * csub:(u + 1) * csub, :])
-            lane_mw = _lane9_step(
-                lane_mw, jnp.concatenate([m, m], axis=0), lane_k)
-        return lane_mw
-
-    lane_mw = jax.lax.fori_loop(0, n // unroll, loop4, lane_mw)
     lm_post, lw_pre = _lane9_unpack(lane_mw, 2)
     _store_lane9(lm_post, s_x4, fin_ref, acc_ref, 7)
     _store_lane9(lw_pre, s_x4, fin_ref, acc_ref, 8)
@@ -560,26 +560,42 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
 
     jax.lax.fori_loop(0, n // unroll, loopw, w0)
 
-    # vectorized Haas read + mix/output (cpp:119-133)
+    # vectorized Haas read + mix/output (cpp:119-133), chunked over time so
+    # the wide temporaries stay within the scoped-VMEM stack budget
     delay = w_delay_f.astype(jnp.int32)
-    a3 = x_ref[...].reshape(n, csub, sk.LANES)
-    dl = a3[:, 0:msub, :]
-    dr = a3[:, msub:2 * msub, :]
-    wet_l = out_ref[0:n * msub, :].reshape(n, msub, sk.LANES)
-    base_rows = (D - delay) * msub
-    aligned = (base_rows // 8) * 8
-    frac = base_rows - aligned
-    big = window_ref[pl.ds(aligned, n * msub + 8), :]
-    wet_r_rows = big[0:n * msub, :]
-    # frac is a multiple of MSUB (base_rows = (D - delay)·MSUB), so only
-    # those candidate shifts can occur
-    for f in range(msub, 8, msub):
-        wet_r_rows = jnp.where(frac == f, big[f:n * msub + f, :], wet_r_rows)
-    wet_r = wet_r_rows.reshape(n, msub, sk.LANES)
-    x5_l = (dl + w_mix * (wet_l - dl)) * w_out
-    x5_r = (dr + w_mix * (wet_r - dr)) * w_out
-    x5_ref[...] = jnp.concatenate([x5_l, x5_r], axis=1).reshape(
-        n * csub, sk.LANES)
+    csize = 64
+    while n % csize:
+        csize //= 2
+
+    def vec_chunk(i, _):
+        xb = pl.multiple_of(i * csize * csub, 8)
+        a3 = x_ref[pl.ds(xb, csize * csub), :].reshape(csize, csub,
+                                                       sk.LANES)
+        dl = a3[:, 0:msub, :]
+        dr = a3[:, msub:2 * msub, :]
+        mb = i * csize * msub
+        if (csize * msub) % 8 == 0:
+            mb = pl.multiple_of(mb, 8)
+        wet_l = out_ref[pl.ds(mb, csize * msub), :].reshape(
+            csize, msub, sk.LANES)
+        base_rows = (D - delay + i * csize) * msub
+        aligned = (base_rows // 8) * 8
+        frac = base_rows - aligned
+        big = window_ref[pl.ds(aligned, csize * msub + 8), :]
+        wet_r_rows = big[0:csize * msub, :]
+        # frac is a multiple of MSUB (base_rows is), so only those
+        # candidate shifts can occur
+        for f in range(msub, 8, msub):
+            wet_r_rows = jnp.where(frac == f, big[f:csize * msub + f, :],
+                                   wet_r_rows)
+        wet_r = wet_r_rows.reshape(csize, msub, sk.LANES)
+        x5_l = (dl + w_mix * (wet_l - dl)) * w_out
+        x5_r = (dr + w_mix * (wet_r - dr)) * w_out
+        x5_ref[pl.ds(xb, csize * csub), :] = jnp.concatenate(
+            [x5_l, x5_r], axis=1).reshape(csize * csub, sk.LANES)
+        return 0
+
+    jax.lax.fori_loop(0, n // csize, vec_chunk, 0)
 
     # updated window = last D rows
     cp = pltpu.make_async_copy(
@@ -782,7 +798,7 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
     kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr)
 
     def wrapped(params_ref, lcg_a_ref, lcg_b_ref, *refs):
-        tiled, rest = refs[:-(2 + c)], refs[-(2 + c):]
+        tiled, rest = refs[:-3], refs[-3:]
         kernel(params_ref, lcg_a_ref, lcg_b_ref,
                *[r.at[0] for r in tiled], *rest)
 
@@ -820,8 +836,8 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         scratch_shapes=[
             pltpu.VMEM((n * csub, lanes_n), jnp.float32),
             pltpu.VMEM((n * csub, lanes_n), jnp.float32),
-        ] + [pltpu.VMEM((n * msub, lanes_n), jnp.float32)
-             for _ in range(c)],
+            pltpu.VMEM((n * msub, lanes_n), jnp.float32),
+        ],
         interpret=interpret,
     )
 

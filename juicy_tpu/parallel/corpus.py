@@ -125,13 +125,21 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
 
 
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
-                     metrics: str = "final"):
-    """Full-chain corpus scoring on the fused block-major executor
-    (runtime/chain_fused.py) with mesh batch sharding.
+                     metrics: str = "final", use_kernel: str = "auto"):
+    """Full-chain corpus scoring with mesh batch sharding.
+
+    Executor selection (`use_kernel`): "auto" runs the multi-stage VMEM
+    chain kernel (kernels/chain_kernel.py) when the chain layout and batch
+    support it (canonical 7-stage order, stereo, static non-waveguide
+    material, per-device batch a multiple of the clip tile) and falls back
+    to the XLA fused executor otherwise; "never" forces the fused executor;
+    "always" raises if the kernel path cannot run.
 
     Returns (out [B, C, T], per-stage final metrics list, corpus aggregates
     of the last stage's metrics).
     """
+    from juicy_tpu.kernels import chain_kernel as ck
+    from juicy_tpu.kernels import stage_kernels as sk
     from juicy_tpu.runtime.chain_fused import fused_chain_stream
 
     if mesh is None:
@@ -140,11 +148,28 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     sharding = batch_sharding(mesh, clips.ndim)
     clips = jax.device_put(clips, sharding)
 
+    n_dev = mesh.devices.size
+    per_dev = clips.shape[0] // max(1, n_dev)
+    kernel_ok = (use_kernel != "never" and ck.supports_chain_kernel(chain)
+                 and per_dev % sk.TILE == 0
+                 # single-device only: the custom-call kernel does not
+                 # auto-partition under pjit (multi-chip corpora stay on
+                 # the XLA fused executor, whose hot path is collective-free
+                 # either way); and the kernel path targets real TPUs (the
+                 # CPU interpreter is test-only)
+                 and n_dev == 1
+                 and jax.devices()[0].platform == "tpu")
+    if use_kernel == "always" and not kernel_ok:
+        raise ck.ChainKernelUnsupported(
+            "chain/batch layout unsupported by the kernel executor")
+
+    stream = (ck.chain_kernel_stream if kernel_ok else fused_chain_stream)
+
     @jax.jit
     def batched(cs):
         states = jax.vmap(lambda _: chain.init_state())(
             jnp.arange(cs.shape[0]))
-        out, _st, ms = fused_chain_stream(chain, states, cs, metrics=metrics)
+        out, _st, ms = stream(chain, states, cs, metrics=metrics)
         return out, ms
 
     out, ms = batched(clips)

@@ -64,7 +64,20 @@ class StreamServer:
                 states, fresh)
         self._reset_slot = jax.jit(_reset_slot)
 
+        # uniform-params pools ride the multi-stage VMEM chain kernel when
+        # the layout allows (canonical 7-stage chain, stereo, static
+        # non-waveguide material, slot count a multiple of the clip tile);
+        # per-slot params and other layouts use the XLA fused executor
+        from juicy_tpu.kernels import chain_kernel as ck
+        from juicy_tpu.kernels import stage_kernels as sk
+        self._kernel_tick = (
+            metrics == "blocks" and ck.supports_chain_kernel(chain)
+            and self.max_streams % sk.TILE == 0
+            and jax.devices()[0].platform == "tpu")
+
         def _tick_shared(states, blocks):
+            if self._kernel_tick:
+                return ck.chain_kernel_step(chain, states, blocks)
             return fused_chain_step(chain, states, blocks,
                                     metrics=self.metrics)
         self._tick_shared = jax.jit(_tick_shared)
