@@ -93,15 +93,6 @@ def bench_config(stages, batch, fused=False, iters=3):
                 jnp.arange(cs.shape[0]))
             out, st, _m = fused_chain_stream(chain, states, cs, unroll=8)
             return jnp.sum(out[..., -1]), out.shape
-    elif fused:
-        from juicy_tpu.runtime.fast import fused_chain_run
-
-        @jax.jit
-        def run_batch(cs):
-            states = jax.vmap(lambda _: chain.init_state())(
-                jnp.arange(cs.shape[0]))
-            out, st, _m = fused_chain_run(chain, states, cs)
-            return jnp.sum(out[..., -1]), out.shape
     else:
         @jax.jit
         def run_batch(cs):
@@ -212,6 +203,44 @@ def bench_realtime_latency(iters=50):
         "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 3),
         "realtime_capable": bool(times[int(len(times) * 0.95)] < deadline),
     }
+
+
+def bench_pipelined_latency(depths=(0, 1, 2, 4), iters=60):
+    """Single-stream LIVE latency with pipelined dispatch
+    (runtime/host_bridge.py PipelinedStream): per-tick wall time when block
+    k's dispatch overlaps block k−depth's transfer, vs the synchronous
+    round trip (depth 0). A depth-d pipeline adds d·block_size samples of
+    reported latency (setLatencySamples analog); realtime capability =
+    p95 per-tick wall < the 10.67 ms callback deadline."""
+    import numpy as np
+    from juicy_tpu.runtime.host_bridge import PipelinedStream
+    from juicy_tpu.runtime.plugin import Chain
+
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    deadline_ms = 1e3 * BLOCK / SR
+    blocks = make_batch(1, CHANNELS, BLOCK * (iters + 10))[0]
+    out = {"deadline_ms": round(deadline_ms, 3), "per_depth": {}}
+    for depth in depths:
+        ps = PipelinedStream(chain, depth=depth)
+        # warmup/compile + fill the pipeline
+        for k in range(depth + 3):
+            ps.tick(blocks[:, k * BLOCK:(k + 1) * BLOCK])
+        times = []
+        for k in range(depth + 3, depth + 3 + iters):
+            t0 = time.perf_counter()
+            res = ps.tick(blocks[:, k * BLOCK:(k + 1) * BLOCK])
+            assert res is not None
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2]
+        p95 = times[int(len(times) * 0.95)]
+        out["per_depth"][str(depth)] = {
+            "p50_ms": round(1e3 * p50, 2),
+            "p95_ms": round(1e3 * p95, 2),
+            "latency_samples": ps.latency_samples,
+            "realtime_capable": bool(p95 * 1e3 < deadline_ms),
+        }
+    return out
 
 
 def bench_realtime_streams(stream_counts=(2048, 4096, 8192, 16384),
@@ -363,6 +392,13 @@ def main():
             details["realtime_streams"] = bench_realtime_streams()
         except Exception as e:
             details["realtime_streams"] = {"error": repr(e)}
+        save()
+
+    if force or "pipelined_latency" not in details:
+        try:
+            details["pipelined_latency"] = bench_pipelined_latency()
+        except Exception as e:
+            details["pipelined_latency"] = {"error": repr(e)}
         save()
 
     candidates = [v for k, v in details.items()

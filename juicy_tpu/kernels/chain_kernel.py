@@ -55,6 +55,15 @@ models' per-sample bodies (punch/saturator/width/cohere) in the exact
 float32 op order of the C++. Score formulas run outside in XLA via
 finalize_lane.
 
+Fidelity vs the XLA fused executor: bit-clean on CPU (front kernel
+bit-exact; full chain −98…−108 dBFS, non-accumulating). On real TPUs
+Mosaic and XLA contract FMAs differently through the tanh chains, so
+threshold comparators (motion's onset detector) occasionally land 1 ulp
+apart and flip: measured over 512 clips × 94 blocks, median per-clip null
+−90.3 dBFS, with 3/512 clips above −80 (single flipped onset events) —
+the same divergence class the reference's own two C++ builds show against
+each other (−47.5 dBFS, CPP_NULL_REPORT.json). See BASELINE.md round 3.
+
 Unsupported layouts (non-canonical stage order, mono, waveguide texture
 materials wood/plastic — their VMEM sliding window would overflow the
 ~16 MB/core budget on top of the stream scratches, traced materials)

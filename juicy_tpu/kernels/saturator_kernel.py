@@ -173,7 +173,7 @@ def saturator_step_fused(plugin, params, states, blocks,
                          interpret: bool = False):
     """Fully-fused saturator step: [B, C, N] blocks, B % 1024 == 0.
 
-    Drop-in equivalent of runtime.fast.fused_step for the saturator,
+    Drop-in equivalent of Plugin.batch_step for the saturator,
     with both analyzer passes and the DSP in ONE kernel.
     """
     from juicy_tpu.analyzer import _finalize_metrics

@@ -97,3 +97,93 @@ class HostBridge:
             self._thread.join(timeout=5.0)
         self.in_ring.close()
         self.out_ring.close()
+
+
+class PipelinedStream:
+    """Single-stream live client with PIPELINED dispatch.
+
+    The synchronous single-block round trip (dispatch → device compute →
+    device→host transfer) is dominated by transfer latency in
+    tunnel-fronted environments (BENCH_DETAILS.json realtime_latency).
+    This client overlaps them: ``tick(block_k)`` dispatches block k's step
+    asynchronously, starts its device→host copy immediately
+    (``copy_to_host_async``), and returns block ``k − depth``'s finished
+    audio — whose transfer has had `depth` block periods to complete. The
+    effective per-tick cost approaches the device step time; the price is
+    ``depth · block_size`` samples of reported latency, exactly what a
+    JUCE host absorbs via setLatencySamples.
+
+    Works with a Plugin (single [C, N] stream) or a Chain (each stage's
+    state threads block-to-block like a DAW insert chain).
+    """
+
+    def __init__(self, target, params=None, depth: int = 2):
+        import collections
+        import jax
+        import jax.numpy as jnp
+        from juicy_tpu.runtime.plugin import Chain
+
+        self.depth = max(0, int(depth))
+        self.block_size = target.block_size
+        self.channels = target.channels
+        self._q = collections.deque()
+        self._jnp = jnp
+        # metrics leave the device as ONE stacked array: per-field host
+        # reads would each pay a transfer round trip (tunnel-dominated)
+        self._metric_keys = None
+
+        def pack_metrics(m):
+            keys = tuple(sorted(m))
+            self._metric_keys = keys
+            return jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+
+        if isinstance(target, Chain):
+            self._state = target.init_state()
+            chain_params = params if params is not None else target.params
+
+            @jax.jit
+            def tick_fn(state, block):
+                out, state, ms = target.step(chain_params, state, block)
+                return out, state, pack_metrics(ms[-1])
+        else:
+            self._state = target.init_state()
+            plug_params = params if params is not None \
+                else target.default_params()
+
+            @jax.jit
+            def tick_fn(state, block):
+                out, state, m = target.step(plug_params, state, block)
+                return out, state, pack_metrics(m)
+        self._tick_fn = tick_fn
+
+    @property
+    def latency_samples(self) -> int:
+        """What the host reports upstream (setLatencySamples analog)."""
+        return self.depth * self.block_size
+
+    def _unpack(self, o, mvec):
+        m = np.asarray(mvec)
+        return np.asarray(o), {k: float(m[i])
+                               for i, k in enumerate(self._metric_keys)}
+
+    def tick(self, block: np.ndarray):
+        """Dispatch one [C, N] block; return (audio, metrics) for the block
+        `depth` ticks ago, or None while the pipeline fills."""
+        out, self._state, mvec = self._tick_fn(
+            self._state, self._jnp.asarray(block, self._jnp.float32))
+        for arr in (out, mvec):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._q.append((out, mvec))
+        if len(self._q) > self.depth:
+            return self._unpack(*self._q.popleft())
+        return None
+
+    def flush(self):
+        """Drain the in-flight tail (end of stream)."""
+        outs = []
+        while self._q:
+            outs.append(self._unpack(*self._q.popleft()))
+        return outs

@@ -217,3 +217,45 @@ def test_native_host_shim_realtime_pacing(rng, tmp_path):
     # paced at 1x: elapsed covers at least the audio duration minus one block
     assert stats["elapsed_s"] >= audio_s - block / sr
     assert stats["blocks_popped"] == nb
+
+
+def test_pipelined_stream_matches_sync(rng):
+    """PipelinedStream returns the same audio as synchronous stepping,
+    delayed by `depth` blocks (the reported latency)."""
+    from juicy_tpu.runtime.host_bridge import PipelinedStream
+    from juicy_tpu.runtime.plugin import Chain
+
+    block, nb, depth = 512, 6, 2
+    chain = Chain([("punch", "Solar Snap"), ("saturator", None)],
+                  sr=48000.0, channels=2, block_size=block)
+    clip = make_clip(rng, 2, block * nb)
+    want, _, _ = chain.run(chain.init_state(), jnp.asarray(clip))
+
+    ps = PipelinedStream(chain, depth=depth)
+    assert ps.latency_samples == depth * block
+    got = []
+    for k in range(nb):
+        res = ps.tick(clip[:, k * block:(k + 1) * block])
+        if k < depth:
+            assert res is None      # pipeline filling
+        else:
+            audio, metrics = res
+            got.append(audio)
+            assert 0.0 <= metrics["score"] <= 100.0
+    got.extend(a for a, _ in ps.flush())
+    np.testing.assert_allclose(np.concatenate(got, axis=-1),
+                               np.asarray(want), atol=1e-6)
+
+
+def test_pipelined_stream_plugin_and_depth0(rng):
+    from juicy_tpu.runtime.host_bridge import PipelinedStream
+    from juicy_tpu.runtime.plugin import Plugin
+
+    block = 512
+    plug = Plugin("saturator", 48000.0, 2, block)
+    clip = make_clip(rng, 2, block)
+    ps = PipelinedStream(plug, depth=0)        # synchronous mode
+    audio, metrics = ps.tick(clip)
+    want, _, _ = plug.run(plug.default_params(), plug.init_state(),
+                          jnp.asarray(clip))
+    np.testing.assert_allclose(audio, np.asarray(want), atol=1e-6)

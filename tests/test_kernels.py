@@ -60,26 +60,6 @@ def test_fused_analyzer_rejects_bad_batch():
         analyze_fused(state, jnp.zeros((4, 2, BLOCK)), SR, interpret=True)
 
 
-def test_fused_run_matches_batched_run(rng):
-    """Streamed fused path (fused_run) == streamed scan path (batched_run)."""
-    from juicy_tpu.runtime.plugin import Plugin
-    from juicy_tpu.runtime.fast import fused_run
-
-    plug = Plugin("width", SR, 2, BLOCK)
-    params = plug.default_params()
-    b = TILE
-    clips = jnp.asarray(
-        np.stack([make_clip(rng, 2, BLOCK * 2) for _ in range(4)] * (b // 4)))
-    states_f = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
-    states_r = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
-    out_f, _, m_f = fused_run(plug, params, states_f, clips, interpret=True)
-    out_r, _, m_r = plug.batched_run(params, states_r, clips)
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
-                               rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(m_f["score"]),
-                               np.asarray(m_r["score"]), rtol=1e-5, atol=1e-4)
-
-
 def test_saturator_full_step_kernel_matches(rng):
     """The single-kernel saturator step == the reference scan step."""
     from juicy_tpu.runtime.plugin import Plugin
@@ -107,27 +87,3 @@ def test_saturator_full_step_kernel_matches(rng):
         np.testing.assert_allclose(
             np.asarray(st_k["analyzer"][f]), np.asarray(st_r["analyzer"][f]),
             rtol=1e-5, atol=1e-6, err_msg=f)
-
-
-@pytest.mark.parametrize("name", ["saturator", "punch", "width", "infer"])
-def test_fused_step_matches_batch_step(rng, name):
-    from juicy_tpu.runtime.plugin import Plugin
-    from juicy_tpu.runtime.fast import fused_step
-
-    plug = Plugin(name, SR, 2, BLOCK)
-    params = plug.default_params()
-    b = TILE
-    blocks = jnp.asarray(
-        np.stack([make_clip(rng, 2, BLOCK) for _ in range(8)] * (b // 8)))
-    states = jax.vmap(lambda _: plug.init_state())(jnp.arange(b))
-
-    out_f, st_f, m_f = fused_step(plug, params, states, blocks, interpret=True)
-    out_r, st_r, m_r = plug.batch_step(params, states, blocks)
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
-                               rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(m_f["score"]),
-                               np.asarray(m_r["score"]), rtol=1e-5, atol=1e-4)
-    for leaf_f, leaf_r in zip(jax.tree.leaves(st_f["dsp"]),
-                              jax.tree.leaves(st_r["dsp"])):
-        np.testing.assert_allclose(np.asarray(leaf_f), np.asarray(leaf_r),
-                                   rtol=1e-6, atol=1e-7)
