@@ -364,9 +364,13 @@ def main():
             details[name] = {"error": repr(e)}
         save()
 
-    kernel_jobs = [("punch_kernel", "punch", None),
-                   ("saturator_kernel", "saturator", None),
-                   ("motion_kernel", "motion", None),
+    # stage-kernel tier: texture/saturator win vs their XLA stages and
+    # remain production-relevant; punch/motion standalone kernels were at
+    # parity/-25% and are superseded by the chain kernel (their in-kernel
+    # bodies live on inside it) - dropped from the bench roster.
+    for retired in ("punch_kernel", "motion_kernel"):
+        details.pop(retired, None)
+    kernel_jobs = [("saturator_kernel", "saturator", None),
                    ("texture_kernel_gel", "texture", 0),
                    ("texture_kernel_metal", "texture", 1),
                    ("texture_kernel_wood", "texture", 2)]

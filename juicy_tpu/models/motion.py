@@ -178,7 +178,7 @@ def make_p2_step(consts, targets, scales, ch_offset, sr):
                         jnp.float32(900.0)
                         + vt * jnp.float32(1100.0) * (jnp.float32(0.6) + jnp.float32(0.6) * depth)
                         + lfo * lfo_depth)
-        lp_c = onepole_coeff32(cutoff, sr)
+        lp_c = onepole_coeff32(cutoff, sr, max_hz=4200.0)
         lp = lp + lp_c * (d - lp)
         hp = d - lp
         transient = d - prev

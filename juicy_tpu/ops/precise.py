@@ -97,7 +97,25 @@ def sin32(x):
     return _sin_kernel(x)
 
 
-def onepole_coeff32(freq_hz, sr):
-    """1 − exp32(−2π·f/sr): drift-pinned one-pole coefficient (for
-    per-sample-modulated cutoffs, e.g. JuicyMotion cpp:121)."""
+def exp32_narrow(x):
+    """exp(x) for x ∈ [−0.7, 0]: degree-9 truncation of the same Taylor
+    family as exp32. The first dropped term (x¹⁰/10! ≈ 8e-9 at −0.7) is
+    below one f32 ulp on this domain, so the narrow form agrees with
+    exp32/libm at the ≤1-ulp level while costing half the FMAs — this is
+    the per-sample hot path of motion's modulated cutoff coefficient."""
+    acc = _EXP_C[9]
+    for c in _EXP_C[8::-1]:
+        acc = acc * x + c
+    return acc
+
+
+def onepole_coeff32(freq_hz, sr, max_hz: float = None):
+    """1 − exp(−2π·f/sr): drift-pinned one-pole coefficient (for
+    per-sample-modulated cutoffs, e.g. JuicyMotion cpp:121).
+
+    When the caller's cutoff is statically bounded (`max_hz`) and the
+    sample rate keeps the argument inside [−0.7, 0], the half-cost
+    narrow-domain exp is used (≤1 ulp from the wide form)."""
+    if max_hz is not None and _TWO_PI * float(max_hz) / float(sr) <= 0.7:
+        return F(1.0) - exp32_narrow(-_TWO_PI * freq_hz / F(sr))
     return F(1.0) - exp32(-_TWO_PI * freq_hz / F(sr))

@@ -501,6 +501,10 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
             lanes.append(None)
         fuser = _FUSERS.get(plug.defn.name)
         if fuser is None:
+            # fallback for custom-registered processors without a fuser:
+            # supports a SINGLE leading batch dimension (the vmap below);
+            # multi-dim batch shapes need a registered fuser (the built-in
+            # seven are all rank-agnostic through their fusers)
             ex.flush()
             out, new_dsp = jax.vmap(
                 lambda s, b: plug.defn.process(p, s, b, sr),

@@ -476,7 +476,7 @@ class MotionOracle:
                 cutoff = jlimit(120.0, 4200.0,
                                 F(900.0) + self.variation[0] * F(1100.0) * (F(0.6) + F(0.6) * depth)
                                 + lfo * lfo_depth)
-                lp_coeff = onepole_coeff32(cutoff, sr)
+                lp_coeff = onepole_coeff32(cutoff, sr, max_hz=4200.0)
                 lp += lp_coeff * (dry - lp)
                 hp = dry - lp
                 transient = dry - prev

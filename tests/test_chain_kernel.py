@@ -138,3 +138,34 @@ def test_chain_kernel_unsupported_layouts():
     mono = Chain(CHAIN, sr=SR, channels=1, block_size=n)
     assert not ck.supports_chain_kernel(mono)
     assert ck.supports_chain_kernel(_mk(CHAIN, n))
+
+
+@pytest.mark.slow
+def test_chain_kernel_vs_cpp_oracle(rng):
+    """Direct ground-truth anchor: the kernel chain (interpret) vs the
+    compiled reference C++ stacked serially — not just vs the fused
+    executor. Null budget ≤ −80 dBFS (BASELINE.json)."""
+    from tests import cpp_ref
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    if not cpp_ref.reference_available():
+        pytest.skip("C++ oracle toolchain unavailable")
+    b, nb = 128, 4
+    chain = _mk(CHAIN, 512)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    clips = _clips(rng, b, 512 * nb)
+    out_k, _, ms = ck.chain_kernel_stream(chain, states, jnp.asarray(clips),
+                                          unroll=4, interpret=True)
+
+    procs = []
+    for (name, preset) in CHAIN:
+        p = cpp_ref.CppProcessor(name, "off", SR, 512, 2)
+        if preset is not None:
+            # every named preset in CHAIN is index 0 (the ctor default)
+            p.set_program(0)
+        procs.append(p)
+    ref = np.asarray(clips[0])
+    for p in procs:
+        ref = p.run(ref)
+    db = residual_dbfs(np.asarray(out_k[0]), ref)
+    assert db <= -80.0, f"kernel chain vs C++ oracle: {db:.1f} dBFS"
