@@ -64,10 +64,16 @@ apart and flip: measured over 512 clips × 94 blocks, median per-clip null
 the same divergence class the reference's own two C++ builds show against
 each other (−47.5 dBFS, CPP_NULL_REPORT.json). See BASELINE.md round 3.
 
-Unsupported layouts (non-canonical stage order, mono, waveguide texture
-materials wood/plastic — their VMEM sliding window would overflow the
-~16 MB/core budget on top of the stream scratches, traced materials)
-raise ChainKernelUnsupported; callers fall back to the XLA fused executor.
+Waveguide texture materials (wood/plastic) fit the VMEM budget by
+trading the full-stereo y1/y2 stream scratches for MONO ones (the post
+lanes only consume mono; those two streams' stateless stats accumulate
+serially in loop 1) — freeing room for the waveguide's sliding history
+window (DMA'd in/out like the texture stage kernel, with the write index
+threaded through a per-block SMEM word).
+
+Unsupported layouts (non-canonical stage order, mono chains, traced/mixed
+materials) raise ChainKernelUnsupported; callers fall back to the XLA
+fused executor.
 """
 
 from __future__ import annotations
@@ -124,13 +130,10 @@ def _check_chain(chain) -> int:
     tex_params = chain.plugins[2].full_params(chain.params[2])
     mode = _texture.static_material(tex_params)
     if mode is None:
-        raise ChainKernelUnsupported("texture material must be static")
-    mode = max(0, min(4, mode))
-    if mode in (2, 3):
         raise ChainKernelUnsupported(
-            "waveguide materials (wood/plastic) exceed the VMEM budget in "
-            "the multi-stage kernel; use the XLA fused executor")
-    return mode
+            "texture material must be static on the kernel path (traced/"
+            "mixed materials run on the XLA fused executor)")
+    return max(0, min(4, mode))
 
 
 # ---------------------------------------------------------------------------
@@ -263,15 +266,17 @@ def _lane_slices(fin_t, acc_t, idx: int):
 # Front kernel: punch -> saturator -> texture -> motion
 # ---------------------------------------------------------------------------
 
-def _front_kernel(mode, n, c, unroll, sr,
-                  params_ref, lcg_a_ref, lcg_b_ref,
+def _front_kernel(mode, n, c, unroll, sr, H, L,
+                  params_ref, lcg_a_ref, lcg_b_ref, widx_ref,
                   x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
-                  mmono_ref, mchan_ref, mrng_ref, lanes_ref,
+                  mmono_ref, mchan_ref, mrng_ref, lanes_ref, hist_ref,
                   out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
                   mmono_out, mchan_out, mrng_out, fin_ref, acc_ref,
-                  y1_ref, y2_ref, *ch_scratch):
+                  newhist_ref, y1_ref, y2_ref, ch_scratch, window_ref,
+                  dma_sem):
     msub = sk.MSUB
     csub = c * msub
+    wave = mode in (2, 3)
     one = jnp.float32(1.0)
     half = jnp.float32(0.5)
     P = [0]
@@ -293,9 +298,20 @@ def _front_kernel(mode, n, c, unroll, sr,
     mo_tau15 = nextp()
     # texture consts (variable length -> last)
     tex_kc, tex_mc = sk.tex_unpack(nextp, mode)
+    if wave:
+        # the waveguide write index advances per block: it rides its own
+        # SMEM input (the main param vector is stream-constant)
+        tex_mc = dict(tex_mc, widx0_f=widx_ref[0, 0])
+        g = pl.program_id(0)
+        cp = pltpu.make_async_copy(hist_ref.at[g],
+                                   window_ref.at[pl.ds(0, H * csub), :],
+                                   dma_sem)
+        cp.start()
+        cp.wait()
 
     white_at = sk.make_white_at(lcg_a_ref, lcg_b_ref, trng_ref[...], c, n)
-    tex_sample = sk.make_tex_sample(mode, tex_kc, tex_mc, c, None, 0, 0)
+    tex_sample = sk.make_tex_sample(mode, tex_kc, tex_mc, c, window_ref,
+                                    H, L)
     p1_body = sk.make_motion_p1_body(mo_micro_var, mo_tau15,
                                      jnp.float32(int(sr * 0.04)))
 
@@ -323,8 +339,15 @@ def _front_kernel(mode, n, c, unroll, sr,
     lane_pre = _lane9_init_at(lanes_ref, (0, 1, 2, 3))
 
     # ---- loop 1: punch + sat + texture DSP + motion p1 + packed pre lanes
+    # Wave (waveguide) materials trade the full-stereo y1/y2 scratches for
+    # MONO ones to fit the VMEM window: the post lanes only consume mono,
+    # and the y1/y2 stateless stats accumulate serially here (packed pair,
+    # ~11 extra ops/sample) instead of vectorized afterwards.
+    zp = jnp.zeros((2 * msub, sk.LANES), jnp.float32)
+    stats12_0 = (zp, zp, zp, zp, zp, zp) if wave else ()
+
     def loop1(tt, carry):
-        (fast, slow, tone, tex_st, p1c, lane_pre) = carry
+        (fast, slow, tone, tex_st, p1c, lane_pre, stats12) = carry
         base = pl.multiple_of(tt * unroll * csub, 8)
         chunk = x_ref[pl.ds(base, unroll * csub), :]
         y1s, y2s, y3s = [], [], []
@@ -348,25 +371,48 @@ def _front_kernel(mode, n, c, unroll, sr,
             m3 = mono_of(d3)
             # motion pass 1 (cpp:75-95) on |mono|
             p1c = p1_body(p1c, jnp.abs(m3))
-            # packed pre lanes: punch(x0), sat(y1), tex(y2), motion(y3)
-            mono_pack = jnp.concatenate(
-                [mono_of(d0), mono_of(d1), mono_of(d2), m3], axis=0)
+            if wave:
+                l1, r1 = split(d1)
+                l2_, r2_ = split(d2)
+                lp2 = jnp.concatenate([l1, l2_], axis=0)
+                rp2 = jnp.concatenate([r1, r2_], axis=0)
+                mono12 = half * (lp2 + rp2)
+                side12 = half * (lp2 - rp2)
+                rms, peak, side_a, corr, l2a, r2a = stats12
+                stats12 = (rms + mono12 * mono12,
+                           jnp.maximum(peak, jnp.abs(mono12)),
+                           side_a + side12 * side12,
+                           corr + lp2 * rp2,
+                           l2a + lp2 * lp2, r2a + rp2 * rp2)
+                # (stats12 stays an empty tuple in non-wave mode so the
+                # loop carry holds no dead accumulators)
+                mono_pack = jnp.concatenate([mono_of(d0), mono12, m3],
+                                            axis=0)
+                y1s.append(mono12[0:msub, :])
+                y2s.append(mono12[msub:2 * msub, :])
+            else:
+                mono_pack = jnp.concatenate(
+                    [mono_of(d0), mono_of(d1), mono_of(d2), m3], axis=0)
+                y1s.append(d1)
+                y2s.append(d2)
             lane_pre = _lane9_step(lane_pre, mono_pack, lane_k)
-            y1s.append(d1)
-            y2s.append(d2)
             y3s.append(d3)
-        y1_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y1s, axis=0)
-        y2_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y2s, axis=0)
+        yrows = msub if wave else csub
+        ybase = tt * unroll * yrows
+        if (unroll * yrows) % 8 == 0:
+            ybase = pl.multiple_of(ybase, 8)
+        y1_ref[pl.ds(ybase, unroll * yrows), :] = jnp.concatenate(y1s, 0)
+        y2_ref[pl.ds(ybase, unroll * yrows), :] = jnp.concatenate(y2s, 0)
         # out_ref holds the texture stream (motion's input) until the
         # channel merge overwrites it with motion's output
         out_ref[pl.ds(base, unroll * csub), :] = jnp.concatenate(y3s, axis=0)
-        return (fast, slow, tone, tex_st, p1c, lane_pre)
+        return (fast, slow, tone, tex_st, p1c, lane_pre, stats12)
 
     tex_st0 = tex_core0 + (tex_mat0,)
     p1c0 = (menv0, mcd0, mrep0, mrng0, mvtt0, mvtrt0, mvtlt0)
-    (fast, slow, tone, tex_st, p1c, lane_pre) = jax.lax.fori_loop(
+    (fast, slow, tone, tex_st, p1c, lane_pre, stats12) = jax.lax.fori_loop(
         0, n // unroll, loop1, (fast0, slow0, tone0, tex_st0, p1c0,
-                                lane_pre))
+                                lane_pre, stats12_0))
 
     pdsp_out[0:csub, :] = fast
     pdsp_out[csub:2 * csub, :] = slow
@@ -375,11 +421,22 @@ def _front_kernel(mode, n, c, unroll, sr,
         tdsp_out[i * csub:(i + 1) * csub, :] = tex_st[i]
     for i, v in enumerate(tex_st[9]):
         tmat_out[i * csub:(i + 1) * csub, :] = v
+    if wave:
+        cp = pltpu.make_async_copy(
+            window_ref.at[pl.ds(n * csub, H * csub), :], newhist_ref.at[g],
+            dma_sem)
+        cp.start()
+        cp.wait()
 
-    # vectorized stateless stats of every materialized stream
+    # stateless stats of every materialized stream (vectorized; y1/y2 from
+    # the serial pair accumulators in wave mode)
     s_x0 = _stats_from_rows(x_ref, n, c)
-    s_y1 = _stats_from_rows(y1_ref, n, c)
-    s_y2 = _stats_from_rows(y2_ref, n, c)
+    if wave:
+        s_y1 = tuple(v[0:msub, :] for v in stats12)
+        s_y2 = tuple(v[msub:2 * msub, :] for v in stats12)
+    else:
+        s_y1 = _stats_from_rows(y1_ref, n, c)
+        s_y2 = _stats_from_rows(y2_ref, n, c)
     s_y3 = _stats_from_rows(out_ref, n, c)
 
     lp_p, lp_s, lp_t, lp_m = _lane9_unpack(lane_pre, 4)
@@ -412,13 +469,22 @@ def _front_kernel(mode, n, c, unroll, sr,
         lane3 = carry[8]
         base = pl.multiple_of(t * unroll * csub, 8)
         y3chunk = out_ref[pl.ds(base, unroll * csub), :]
-        y1chunk = y1_ref[pl.ds(base, unroll * csub), :]
-        y2chunk = y2_ref[pl.ds(base, unroll * csub), :]
+        yrows = msub if wave else csub
+        ybase = t * unroll * yrows
+        if (unroll * yrows) % 8 == 0:
+            ybase = pl.multiple_of(ybase, 8)
+        y1chunk = y1_ref[pl.ds(ybase, unroll * yrows), :]
+        y2chunk = y2_ref[pl.ds(ybase, unroll * yrows), :]
         ys = []
         for u in range(unroll):
+            if wave:   # mono scratches: rows ARE the mono streams
+                m1 = y1chunk[u * msub:(u + 1) * msub, :]
+                m2 = y2chunk[u * msub:(u + 1) * msub, :]
+            else:
+                m1 = mono_of(y1chunk[u * csub:(u + 1) * csub, :])
+                m2 = mono_of(y2chunk[u * csub:(u + 1) * csub, :])
             mono_pack = jnp.concatenate(
-                [mono_of(y1chunk[u * csub:(u + 1) * csub, :]),
-                 mono_of(y2chunk[u * csub:(u + 1) * csub, :]),
+                [m1, m2,
                  mono_of(y3chunk[u * csub:(u + 1) * csub, :])], axis=0)
             lane3 = _lane9_step(lane3, mono_pack, lane_k)
             d = y3chunk[u * csub:u * csub + msub, :]
@@ -427,7 +493,7 @@ def _front_kernel(mode, n, c, unroll, sr,
         sbase = t * unroll * msub
         if (unroll * msub) % 8 == 0:
             sbase = pl.multiple_of(sbase, 8)
-        ch_scratch[0][pl.ds(sbase, unroll * msub), :] = \
+        ch_scratch[pl.ds(sbase, unroll * msub), :] = \
             jnp.concatenate(ys, axis=0)
         return p2c + (lane3,)
 
@@ -463,7 +529,7 @@ def _front_kernel(mode, n, c, unroll, sr,
         sbase = t * unroll * msub
         if (unroll * msub) % 8 == 0:
             sbase = pl.multiple_of(sbase, 8)
-        m0chunk = ch_scratch[0][pl.ds(sbase, unroll * msub), :]
+        m0chunk = ch_scratch[pl.ds(sbase, unroll * msub), :]
         rows = []
         for u in range(unroll):
             y0 = m0chunk[u * msub:(u + 1) * msub, :]
@@ -804,31 +870,50 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
     lcg_a = jnp.asarray(a_np)[None]
     lcg_b = jnp.asarray(b_np)[None]
 
-    kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr)
+    wave = mode in (2, 3)
+    L = _texture.waveguide_size(sr) if wave else 0
+    H = sk._tex_hist_len(mode, sr) if wave else 0
+    hist_rows = H * csub if wave else 8
+    yrows = n * (msub if wave else csub)
+    win_rows = (H + n) * csub if wave else 8
 
-    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, *refs):
-        tiled, rest = refs[:-3], refs[-3:]
-        kernel(params_ref, lcg_a_ref, lcg_b_ref,
-               *[r.at[0] for r in tiled], *rest)
+    kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr, H, L)
+
+    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, widx_ref, x_ref, pdsp_ref,
+                sdsp_ref, tdsp_ref, tmat_ref, trng_ref, mmono_ref,
+                mchan_ref, mrng_ref, lanes_ref, hist_ref, out_ref, pdsp_out,
+                sdsp_out, tdsp_out, tmat_out, mmono_out, mchan_out,
+                mrng_out, fin_ref, acc_ref, newhist_ref, y1_ref, y2_ref,
+                m0_ref, window_ref, dma_sem):
+        kernel(params_ref, lcg_a_ref, lcg_b_ref, widx_ref,
+               x_ref.at[0], pdsp_ref.at[0], sdsp_ref.at[0], tdsp_ref.at[0],
+               tmat_ref.at[0], trng_ref.at[0], mmono_ref.at[0],
+               mchan_ref.at[0], mrng_ref.at[0], lanes_ref.at[0], hist_ref,
+               out_ref.at[0], pdsp_out.at[0], sdsp_out.at[0],
+               tdsp_out.at[0], tmat_out.at[0], mmono_out.at[0],
+               mchan_out.at[0], mrng_out.at[0], fin_ref.at[0],
+               acc_ref.at[0], newhist_ref, y1_ref, y2_ref, m0_ref,
+               window_ref, dma_sem)
 
     def smem(w):
         return pl.BlockSpec((1, w), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
     ts = sk._tilespec
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
     pcall = functools.partial(
         pl.pallas_call, wrapped,
         grid=(grid,),
         in_specs=[
-            smem(pvec.shape[1]), smem(c * n), smem(c * n),
+            smem(pvec.shape[1]), smem(c * n), smem(c * n), smem(1),
             ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
             ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
-            ts(msub), ts(25 * msub),
+            ts(msub), ts(25 * msub), anyspec,
         ],
         out_specs=[
             ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
             ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
-            ts(45 * msub), ts(90 * msub),
+            ts(45 * msub), ts(90 * msub), anyspec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
@@ -841,26 +926,29 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
             jax.ShapeDtypeStruct((grid, msub, lanes_n), jnp.uint32),
             jax.ShapeDtypeStruct((grid, 45 * msub, lanes_n), jnp.float32),
             jax.ShapeDtypeStruct((grid, 90 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, hist_rows, lanes_n), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
-            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+            pltpu.VMEM((yrows, lanes_n), jnp.float32),
+            pltpu.VMEM((yrows, lanes_n), jnp.float32),
             pltpu.VMEM((n * msub, lanes_n), jnp.float32),
+            pltpu.VMEM((win_rows, lanes_n), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )
 
     def pack(states):
-        return {
+        tdsp = states[2]["dsp"]
+        if wave:
+            tdsp = sk.texture_kernel_state(tdsp, sr, mode)
+        tiles = {
             "pdsp": sk.state_to_tiles([states[0]["dsp"]["fast_env"],
                                        states[0]["dsp"]["slow_env"]]),
             "sdsp": sk.state_to_tiles([states[1]["dsp"]["tone_state"]]),
-            "tdsp": sk.state_to_tiles([states[2]["dsp"][k]
-                                       for k in sk._TEX_DSP_KEYS]),
-            "tmat": sk.state_to_tiles(sk.tex_mat_leaves(states[2]["dsp"],
-                                                        mode)),
-            "trng": sk._u32_to_tiles(jnp.asarray(states[2]["dsp"]["rng"],
-                                                 jnp.uint32)),
+            "tdsp": sk.state_to_tiles([tdsp[k] for k in sk._TEX_DSP_KEYS]),
+            "tmat": sk.state_to_tiles(sk.tex_mat_leaves(tdsp, mode)),
+            "trng": sk._u32_to_tiles(jnp.asarray(tdsp["rng"], jnp.uint32)),
             "mmono": sk.motion_mono_tiles(states[3]["dsp"], bsz),
             "mchan": sk.state_to_tiles([states[3]["dsp"]["lp"],
                                         states[3]["dsp"]["tail"],
@@ -868,18 +956,30 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
             "mrng": sk._u32_to_tiles(jnp.broadcast_to(
                 jnp.asarray(states[3]["dsp"]["rng"], jnp.uint32), (bsz,))),
         }
+        if wave:
+            tiles["thist"] = sk.to_stream(tdsp["waveguide"])
+            widx0 = jnp.asarray(tdsp["wave_idx"]).reshape(-1)[0]
+            tiles["twidx"] = widx0.astype(jnp.float32).reshape(1, 1)
+        else:
+            tiles["thist"] = jnp.zeros((grid, 8, lanes_n), jnp.float32)
+            tiles["twidx"] = jnp.zeros((1, 1), jnp.float32)
+        return tiles
 
     def call(x_tile, tiles, lanes0):
         (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
-         fin, acc) = pcall()(pvec, lcg_a, lcg_b, x_tile, tiles["pdsp"],
-                             tiles["sdsp"], tiles["tdsp"], tiles["tmat"],
-                             tiles["trng"], tiles["mmono"], tiles["mchan"],
-                             tiles["mrng"], lanes0)
+         fin, acc, newhist) = pcall()(
+            pvec, lcg_a, lcg_b, tiles["twidx"], x_tile, tiles["pdsp"],
+            tiles["sdsp"], tiles["tdsp"], tiles["tmat"], tiles["trng"],
+            tiles["mmono"], tiles["mchan"], tiles["mrng"], lanes0,
+            tiles["thist"])
         tiles2 = {"pdsp": pdsp_f, "sdsp": sdsp_f, "tdsp": tdsp_f,
                   "tmat": tmat_f,
                   # draw count per block is static: closed-form LCG jump
                   "trng": lcg_advance(tiles["trng"], c * n),
-                  "mmono": mmono_f, "mchan": mchan_f, "mrng": mrng_f}
+                  "mmono": mmono_f, "mchan": mchan_f, "mrng": mrng_f,
+                  "thist": newhist if wave else tiles["thist"],
+                  "twidx": (jnp.mod(tiles["twidx"] + n, L) if wave
+                            else tiles["twidx"])}
         return out, tiles2, fin, acc
 
     def unpack(tiles, states0):
@@ -887,8 +987,21 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         (tone_f,) = sk.tiles_to_state(tiles["sdsp"], bsz, c, 1)
         tex_leaves = sk.tiles_to_state(tiles["tdsp"], bsz, c, 9)
         mat_out = sk.tiles_to_state(tiles["tmat"], bsz, c, nmat)
-        tex_dsp = sk.tex_rebuild_dsp(states0[2]["dsp"], tex_leaves, mat_out,
-                                     mode, None, bsz, c, n, sr)
+        if wave:
+            # rebuild the window-form dsp, then convert back to ring form
+            nm = 4
+            tex_dsp = {k: v for k, v in zip(sk._TEX_DSP_KEYS, tex_leaves)}
+            tex_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
+            tex_dsp["modal_y2"] = jnp.stack(mat_out[nm:2 * nm], axis=-1)
+            tex_dsp["prev_wave"] = mat_out[2 * nm]
+            tex_dsp["waveguide"] = sk.from_stream(tiles["thist"], bsz, c)
+            widx = tiles["twidx"][0, 0].astype(jnp.int32)
+            tex_dsp["wave_idx"] = jnp.broadcast_to(
+                widx, jnp.shape(states0[2]["dsp"]["wave_idx"]))
+            tex_dsp = sk.texture_ring_state(tex_dsp, sr, mode, L)
+        else:
+            tex_dsp = sk.tex_rebuild_dsp(states0[2]["dsp"], tex_leaves,
+                                         mat_out, mode, None, bsz, c, n, sr)
         # the tiled carry already advanced the LCG once per block
         tex_dsp["rng"] = sk.tiles_to_mono(tiles["trng"], bsz, 1)[0]
         mono_out = sk.tiles_to_mono(tiles["mmono"], bsz, 11)

@@ -91,7 +91,7 @@ def test_chain_kernel_step_matches_fused(rng):
                                    atol=2e-4)
 
 
-@pytest.mark.parametrize("mode", [1, 4])
+@pytest.mark.parametrize("mode", [1, 2, 4])
 def test_chain_kernel_materials(mode, rng):
     from juicy_tpu.kernels import chain_kernel as ck
 
@@ -128,16 +128,59 @@ def test_chain_kernel_stream_matches_fused(rng):
 
 
 def test_chain_kernel_unsupported_layouts():
+    import jax.numpy as jnp
     from juicy_tpu.kernels import chain_kernel as ck
 
     n = 64
     assert not ck.supports_chain_kernel(_mk([("punch", None)], n))
     wood = _mk(CHAIN, n)
     wood.plugins[2] = wood.plugins[2].with_static(material=2)
-    assert not ck.supports_chain_kernel(wood)
+    assert ck.supports_chain_kernel(wood)   # wave materials supported
     mono = Chain(CHAIN, sr=SR, channels=1, block_size=n)
     assert not ck.supports_chain_kernel(mono)
+    mixed = _mk(CHAIN, n)
+    mixed.plugins[2] = mixed.plugins[2].with_traced("material")
+    mixed.params[2]["material"] = jnp.asarray([0.0, 1.0], jnp.float32)
+    assert not ck.supports_chain_kernel(mixed)   # -> fused executor
     assert ck.supports_chain_kernel(_mk(CHAIN, n))
+
+
+@pytest.mark.slow
+def test_chain_kernel_wave_stream(rng):
+    """Waveguide material across MULTIPLE blocks: the sliding history
+    window and write index must carry block-to-block (mono-scratch mode +
+    hist DMA + per-block SMEM widx).
+
+    Path-vs-path nulls through the full chain are CLASS guards for wave
+    materials: 1-ulp fusion-context differences ring through the high-Q
+    waveguide (content-dependent: per-clip medians measured −75 to −90
+    dBFS across input seeds) and can flip motion's onset comparator on
+    clips whose transients land within an ulp of threshold — the same
+    divergence class as the reference's own two C++ builds (−47.5 dBFS on
+    wave long rings; even the XLA fused path sits at ~−64 vs the C++ on
+    onset-rich multi-block wave content). Real layout/state bugs read as
+    ~0..−30 dBFS. Exactness evidence lives elsewhere: the single-block
+    materials test nulls at ≤−90 and the carried waveguide ring is
+    BIT-EXACT vs the fused path (verified in the mode-2 debug harness)."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n, nb = 128, 128, 3
+    chain = _mk(CHAIN, n)
+    chain.plugins[2] = chain.plugins[2].with_static(material=3)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    clips = jnp.asarray(_clips(rng, b, n * nb))
+    out_f, st_f, _ = fused_chain_stream(chain, states, clips, unroll=1)
+    out_k, st_k, _ = ck.chain_kernel_stream(chain, states2, clips,
+                                            unroll=4, interpret=True)
+    res = np.max(np.abs(np.asarray(out_k) - np.asarray(out_f)), axis=(1, 2))
+    db = 20.0 * np.log10(np.maximum(res, 1e-12))
+    assert float(np.median(db)) <= -60.0, f"median {np.median(db):.1f} dBFS"
+    assert float(db.max()) <= -35.0, f"worst clip {db.max():.1f} dBFS"
+    # ring state reconstructs equivalently (wave_idx advanced nb blocks)
+    np.testing.assert_array_equal(
+        np.asarray(st_k[2]["dsp"]["wave_idx"]),
+        np.asarray(st_f[2]["dsp"]["wave_idx"]))
 
 
 @pytest.mark.slow
