@@ -125,15 +125,20 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
 
 
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
-                     metrics: str = "final", use_kernel: str = "auto"):
+                     metrics: str = "final", use_kernel: str = "auto",
+                     _interpret: bool = False):
     """Full-chain corpus scoring with mesh batch sharding.
 
     Executor selection (`use_kernel`): "auto" runs the multi-stage VMEM
     chain kernel (kernels/chain_kernel.py) when the chain layout and batch
-    support it (canonical 7-stage order, stereo, static non-waveguide
-    material, per-device batch a multiple of the clip tile) and falls back
-    to the XLA fused executor otherwise; "never" forces the fused executor;
-    "always" raises if the kernel path cannot run.
+    support it (canonical 7-stage order, stereo, static texture material,
+    per-device batch a multiple of the clip tile) and falls back to the
+    XLA fused executor otherwise; "never" forces the fused executor;
+    "always" raises if the kernel path cannot run. On multi-device meshes
+    the kernel runs per-shard under ``shard_map`` (the hot path is
+    embarrassingly clip-parallel; the only collective is the corpus metric
+    aggregation below). `_interpret` runs the kernel through the Pallas
+    interpreter (CPU tests / the multichip dryrun).
 
     Returns (out [B, C, T], per-stage final metrics list, corpus aggregates
     of the last stage's metrics).
@@ -150,28 +155,48 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
 
     n_dev = mesh.devices.size
     per_dev = clips.shape[0] // max(1, n_dev)
+    platform_ok = jax.devices()[0].platform == "tpu" or _interpret
     kernel_ok = (use_kernel != "never" and ck.supports_chain_kernel(chain)
-                 and per_dev % sk.TILE == 0
-                 # single-device only: the custom-call kernel does not
-                 # auto-partition under pjit (multi-chip corpora stay on
-                 # the XLA fused executor, whose hot path is collective-free
-                 # either way); and the kernel path targets real TPUs (the
-                 # CPU interpreter is test-only)
-                 and n_dev == 1
-                 and jax.devices()[0].platform == "tpu")
+                 and clips.shape[0] % max(1, n_dev) == 0
+                 and per_dev % sk.TILE == 0 and platform_ok)
     if use_kernel == "always" and not kernel_ok:
         raise ck.ChainKernelUnsupported(
             "chain/batch layout unsupported by the kernel executor")
 
-    stream = (ck.chain_kernel_stream if kernel_ok else fused_chain_stream)
+    if kernel_ok and n_dev > 1:
+        # per-shard kernel under shard_map: each device streams its own
+        # clip shard; metrics leaves concatenate on the batch axis
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
 
-    @jax.jit
-    def batched(cs):
-        states = jax.vmap(lambda _: chain.init_state())(
-            jnp.arange(cs.shape[0]))
-        out, _st, ms = stream(chain, states, cs, metrics=metrics)
-        return out, ms
+        def shard_fn(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, _st, ms = ck.chain_kernel_stream(
+                chain, states, cs, metrics=metrics, interpret=_interpret)
+            return out, ms
 
-    out, ms = batched(clips)
+        ospec = (P("data"),
+                 P(None, "data") if metrics == "blocks" else P("data"))
+        batched = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
+                                    out_specs=ospec, check_vma=False))
+        out, ms = batched(clips)
+    else:
+        if kernel_ok:
+            def stream(chain, states, cs, metrics):
+                return ck.chain_kernel_stream(chain, states, cs,
+                                              metrics=metrics,
+                                              interpret=_interpret)
+        else:
+            stream = fused_chain_stream
+
+        @jax.jit
+        def batched(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, _st, ms = stream(chain, states, cs, metrics=metrics)
+            return out, ms
+
+        out, ms = batched(clips)
     agg = corpus_metrics(ms[-1]) if ms is not None else None
     return out, ms, agg

@@ -140,3 +140,39 @@ def test_run_corpus_chain_fused():
     np.testing.assert_allclose(np.asarray(ms[-1]["score"]),
                                np.asarray(m_ref[-1]["score"])[-1], atol=2e-3)
     assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
+
+
+@pytest.mark.slow
+def test_sharded_kernel_corpus_matches_single_device(rng):
+    """The multi-stage chain kernel under shard_map on the 8-device mesh:
+    per-shard kernel streams must reproduce the single-device run
+    (embarrassingly clip-parallel; only the metric aggregation reduces)."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", "Solar Snap"), ("saturator", None),
+                  ("texture", None), ("motion", None), ("width", None),
+                  ("cohere", None), ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        b, nb = 1024, 2          # 8 devices x 128 clips (one tile each)
+        clips = np.stack([make_clip(rng, 2, 128 * nb)
+                          for _ in range(8)] * (b // 8)).astype(np.float32)
+        mesh = make_mesh()
+        out_sh, ms_sh, agg = run_corpus_chain(
+            chain, clips, mesh=mesh, metrics="final", use_kernel="always",
+            _interpret=True)
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
+        out_1, ms_1, _ = run_corpus_chain(
+            chain, clips, mesh=single, metrics="final", use_kernel="always",
+            _interpret=True)
+        # per-shard vs monolithic compilation contexts differ by ulps only
+        assert residual_dbfs(np.asarray(out_sh), np.asarray(out_1)) <= -100.0
+        np.testing.assert_allclose(np.asarray(ms_sh[-1]["score"]),
+                                   np.asarray(ms_1[-1]["score"]), atol=1e-3)
+        assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
