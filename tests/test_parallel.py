@@ -83,13 +83,27 @@ def test_sequence_parallel_linear_scan_matches_local(rng):
 
 @pytest.mark.slow
 def test_dp_sp_mesh_full_chain_dryrun():
-    """The driver's multi-chip dry run must pass on the 8-device CPU mesh."""
-    import importlib.util, pathlib
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry", pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    """The driver's multi-chip dry run must pass on the 8-device CPU mesh.
+
+    Runs in a SUBPROCESS like the driver does: dryrun_multichip mutates
+    global jax config (platform/device count), which must not leak into
+    the rest of this session."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = ("import importlib.util;"
+            f"spec = importlib.util.spec_from_file_location('graft_entry',"
+            f" r'{root / '__graft_entry__.py'}');"
+            "mod = importlib.util.module_from_spec(spec);"
+            "spec.loader.exec_module(mod);"
+            "mod.dryrun_multichip(8)")
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900, cwd=root, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip ok" in r.stdout
 
 
 @pytest.mark.slow
