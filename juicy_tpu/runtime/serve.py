@@ -35,14 +35,26 @@ from juicy_tpu.runtime.plugin import Chain
 
 class StreamServer:
     def __init__(self, chain: Chain, max_streams: int,
-                 metrics: str = "blocks", stage_metrics: str = "last"):
+                 metrics: str = "blocks", stage_metrics: str = "last",
+                 mesh=None):
         """`stage_metrics`: "last" returns the final stage's score per tick
         (cheapest host transfer); "all" returns every stage's metric dict
-        per stream (the full meter-rail view)."""
+        per stream (the full meter-rail view).
+
+        `mesh`: an optional `jax.sharding.Mesh` with a ``data`` axis — the
+        slot pool is sharded over it, scaling the serving capacity linearly
+        with chips (each tick is one SPMD dispatch; the hot path is
+        slot-parallel so no collective rides the tick)."""
         self.chain = chain
         self.max_streams = int(max_streams)
         self.metrics = metrics
         self.stage_metrics = stage_metrics
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
+        if self.mesh is not None and self.max_streams % self.mesh.devices.size:
+            raise ValueError(
+                f"max_streams {self.max_streams} must be a multiple of the "
+                f"mesh's {self.mesh.devices.size} devices")
         self._free = list(range(self.max_streams))[::-1]
         self._active: Dict[int, bool] = {}
         self._pending: Dict[int, np.ndarray] = {}
@@ -58,6 +70,19 @@ class StreamServer:
         self._params = [dict(rows) for rows in self._default_rows]
         self._custom_params = False
 
+        if self.mesh is not None:
+            from juicy_tpu.parallel.mesh import batch_sharding
+
+            def _shard(x):
+                return jax.device_put(
+                    x, batch_sharding(self.mesh, jnp.ndim(x)))
+            self._shard = _shard
+            self._states = jax.tree.map(_shard, self._states)
+            self._default_rows = jax.tree.map(_shard, self._default_rows)
+            self._params = jax.tree.map(_shard, self._params)
+        else:
+            self._shard = jnp.asarray
+
         def _reset_slot(states, idx, fresh):
             return jax.tree.map(
                 lambda batched, single: batched.at[idx].set(single),
@@ -70,9 +95,10 @@ class StreamServer:
         # per-slot params and other layouts use the XLA fused executor
         from juicy_tpu.kernels import chain_kernel as ck
         from juicy_tpu.kernels import stage_kernels as sk
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         self._kernel_tick = (
             metrics == "blocks" and ck.supports_chain_kernel(chain)
-            and self.max_streams % sk.TILE == 0
+            and (self.max_streams // n_dev) % sk.TILE == 0
             and jax.devices()[0].platform == "tpu")
 
         def _tick_shared(states, blocks):
@@ -80,7 +106,17 @@ class StreamServer:
                 return ck.chain_kernel_step(chain, states, blocks)
             return fused_chain_step(chain, states, blocks,
                                     metrics=self.metrics)
-        self._tick_shared = jax.jit(_tick_shared)
+
+        if self._kernel_tick and self.mesh is not None:
+            # per-shard kernels: each device ticks its own slot shard
+            # (same SPMD topology as parallel.corpus.run_corpus_chain)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            self._tick_shared = jax.jit(shard_map(
+                _tick_shared, mesh=self.mesh, in_specs=P("data"),
+                out_specs=P("data"), check_vma=False))
+        else:
+            self._tick_shared = jax.jit(_tick_shared)
 
         def _tick_rows(states, blocks, params):
             def one(st, blk, pr):
@@ -179,12 +215,13 @@ class StreamServer:
         submitted = [sid for sid in self._active if sid in self._pending]
         self._pending.clear()
 
+        jblocks = self._shard(jnp.asarray(blocks))
         if self._custom_params:
             out, self._states, metrics_list = self._tick_rows(
-                self._states, jnp.asarray(blocks), self._params)
+                self._states, jblocks, self._params)
         else:
             out, self._states, metrics_list = self._tick_shared(
-                self._states, jnp.asarray(blocks))
+                self._states, jblocks)
         out_np = np.asarray(out)
         results: Dict[int, Dict[str, np.ndarray]] = {}
         last = metrics_list[-1] if metrics_list is not None else None

@@ -169,3 +169,35 @@ def test_stream_server_per_stream_materials(rng):
         assert db <= -90.0, f"material {mat} stream diverges: {db:.1f} dBFS"
     assert residual_dbfs(np.concatenate(got_a, -1),
                          np.concatenate(got_b, -1)) > -40.0
+
+
+def test_stream_server_mesh_sharded(rng):
+    """A StreamServer sharded over the 8-device mesh bit-matches the
+    single-device server: slots are the SPMD axis, so serving capacity
+    scales linearly with chips (runtime/serve.py `mesh=`)."""
+    from juicy_tpu.parallel.mesh import make_mesh
+
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    mesh = make_mesh()
+    sharded = StreamServer(chain, max_streams=8, mesh=mesh)
+    solo = StreamServer(chain, max_streams=8)
+    clip = make_clip(rng, 2, BLOCK * 2)
+
+    sids = [(sharded.open_stream(), solo.open_stream()) for _ in range(3)]
+    # a per-slot edit on one stream exercises the sharded params rows too
+    sharded.set_params(sids[1][0], "saturator", drive=13.5)
+    solo.set_params(sids[1][1], "saturator", drive=13.5)
+    for k in range(2):
+        blk = clip[:, k * BLOCK:(k + 1) * BLOCK]
+        for ss, so in sids:
+            sharded.submit(ss, blk * (1.0 + 0.1 * ss))
+            solo.submit(so, blk * (1.0 + 0.1 * so))
+        res_s, res_o = sharded.tick(), solo.tick()
+        for ss, so in sids:
+            np.testing.assert_allclose(res_s[ss]["audio"],
+                                       res_o[so]["audio"], atol=2e-6)
+            assert res_s[ss]["score"] == pytest.approx(
+                res_o[so]["score"], abs=1e-3)
+
+    with pytest.raises(ValueError):
+        StreamServer(chain, max_streams=9, mesh=mesh)
