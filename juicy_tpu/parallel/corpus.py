@@ -33,9 +33,39 @@ def corpus_metrics(per_clip_metrics: Dict[str, jnp.ndarray]) -> Dict[str, Dict[s
     return out
 
 
+#: single-stage Pallas kernels measured FASTER than their XLA stage at
+#: corpus batch sizes (BASELINE.md round 2/3: texture +25%, saturator +7%;
+#: punch/motion kernels were parity/slower and stay XLA here — their
+#: kernel bodies live on inside the multi-stage chain kernel instead).
+_WINNING_STAGE_KERNELS = ("texture", "saturator")
+
+
+def _stage_kernel_step(plugin: Plugin, params):
+    """The plugin's full-stage Pallas kernel step, or None when the stage
+    has no winning kernel / the layout cannot run it."""
+    from juicy_tpu.kernels import stage_kernels as sk
+    from juicy_tpu.models import texture as _tex
+
+    name = plugin.defn.name
+    if name not in _WINNING_STAGE_KERNELS:
+        return None
+    if name == "texture" and _tex.static_material(params) is None:
+        return None
+    return {"texture": sk.texture_stage_step,
+            "saturator": sk.saturator_stage_step}[name]
+
+
 def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
-               automation=None):
+               automation=None, use_kernel: str = "auto",
+               _interpret: bool = False):
     """Process a [B, C, T] corpus; B sharded over the mesh's data axis.
+
+    `use_kernel`: "auto" runs the plugin's full-stage Pallas kernel
+    (kernels/stage_kernels.py) when the stage has one that beats its XLA
+    stage (texture with a static material, saturator) and the batch layout
+    allows; "never" forces the XLA batch-major path; "always" raises if no
+    kernel path can run. Automation always uses the XLA path (per-block
+    param updates re-enter the kernel's static parameter vector).
 
     Returns (out [B, C, T], per-clip final-block metrics, corpus aggregates).
     """
@@ -44,6 +74,23 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
     clips = jnp.asarray(clips, jnp.float32)
     sharding = batch_sharding(mesh, clips.ndim)
     clips = jax.device_put(clips, sharding)
+
+    kstep = None
+    if automation is None and use_kernel != "never":
+        from juicy_tpu.kernels import stage_kernels as sk
+        n_dev = mesh.devices.size
+        per_dev = clips.shape[0] // max(1, n_dev)
+        platform_ok = jax.devices()[0].platform == "tpu" or _interpret
+        if (clips.shape[0] % max(1, n_dev) == 0 and per_dev % sk.TILE == 0
+                and clips.shape[2] % plugin.block_size == 0 and platform_ok):
+            kstep = _stage_kernel_step(plugin, params)
+    if use_kernel == "always" and kstep is None:
+        raise ValueError(
+            f"no stage-kernel path for {plugin.defn.name!r} with this "
+            "batch/material layout")
+    if kstep is not None:
+        return _run_corpus_stage_kernel(plugin, params, clips, mesh, kstep,
+                                        _interpret)
 
     if automation is not None:
         # automation curves apply per clip; keep the per-clip nesting
@@ -70,6 +117,49 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
         return out, last, corpus_metrics(last)
 
     return batched(clips)
+
+
+def _run_corpus_stage_kernel(plugin: Plugin, params, clips, mesh: Mesh,
+                             kstep, interpret: bool):
+    """Corpus runner on a full-stage Pallas kernel: per-shard block scans
+    under shard_map (same SPMD topology as the chain-kernel corpus)."""
+    from juicy_tpu.kernels import stage_kernels as sk
+    from juicy_tpu.models import texture as _tex
+
+    n, sr = plugin.block_size, plugin.sr
+    _b, c, t = clips.shape
+    nb = t // n
+    is_texture = plugin.defn.name == "texture"
+    mode = _tex.static_material(params) if is_texture else None
+
+    def shard_fn(cs):
+        bs = cs.shape[0]
+        states = jax.vmap(lambda _: plugin.init_state())(jnp.arange(bs))
+        if is_texture:
+            # the kernel carries the waveguide as a sliding history window
+            states = {"analyzer": states["analyzer"],
+                      "dsp": sk.texture_kernel_state(states["dsp"], sr,
+                                                     mode)}
+        blocks = cs.reshape(bs, c, nb, n).transpose(2, 0, 1, 3)
+
+        def sstep(st, blk):
+            out, st2, m = kstep(params, st, blk, sr, interpret=interpret)
+            return st2, (out, m)
+
+        _st, (outs, ms) = jax.lax.scan(sstep, states, blocks)
+        out = outs.transpose(1, 2, 0, 3).reshape(bs, c, t)
+        last = jax.tree.map(lambda v: v[-1], ms)
+        return out, last
+
+    if mesh.devices.size > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        batched = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
+                                    out_specs=P("data"), check_vma=False))
+    else:
+        batched = jax.jit(shard_fn)
+    out, last = batched(clips)
+    return out, last, corpus_metrics(last)
 
 
 def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,

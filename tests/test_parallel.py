@@ -190,3 +190,43 @@ def test_sharded_kernel_corpus_matches_single_device(rng):
         assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
     finally:
         sk.TILE, sk.MSUB = tile, msub
+
+
+def test_stage_kernel_corpus_matches_xla(rng):
+    """run_corpus(use_kernel=) routes single-plugin corpora onto the winning
+    full-stage Pallas kernels (texture/saturator): kernel output must match
+    the XLA batch-major path, single-device and mesh-sharded."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.parallel.corpus import run_corpus
+    from juicy_tpu.runtime.plugin import Plugin
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        for name, static in (("saturator", None), ("texture", {"material": 1})):
+            plug = Plugin(name, 48000.0, 2, 128)
+            if static:
+                plug = plug.with_static(**static)
+            params = plug.full_params(plug.default_params())
+            clips = np.stack([make_clip(rng, 2, 128 * 2)
+                              for _ in range(8)] * 128).astype(np.float32)
+            mesh = make_mesh()
+            out_k, last_k, agg_k = run_corpus(
+                plug, params, clips, mesh=mesh, use_kernel="always",
+                _interpret=True)
+            out_x, last_x, _ = run_corpus(plug, params, clips, mesh=mesh,
+                                          use_kernel="never")
+            db = residual_dbfs(np.asarray(out_k), np.asarray(out_x))
+            assert db <= -100.0, f"{name} kernel corpus diverges: {db:.1f}"
+            np.testing.assert_allclose(np.asarray(last_k["score"]),
+                                       np.asarray(last_x["score"]), atol=1e-3)
+            assert 0.0 <= float(agg_k["score"]["mean"]) <= 100.0
+
+        # punch has no winning stage kernel: "always" must refuse
+        plug = Plugin("punch", 48000.0, 2, 128)
+        with pytest.raises(ValueError):
+            run_corpus(plug, plug.full_params(plug.default_params()),
+                       clips, mesh=mesh, use_kernel="always",
+                       _interpret=True)
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
