@@ -82,7 +82,7 @@ def bench_config(stages, batch, fused=False, iters=3):
         def run_batch(cs):
             states = jax.vmap(lambda _: chain.init_state())(
                 jnp.arange(cs.shape[0]))
-            out, st, _m = chain_kernel_stream(chain, states, cs, unroll=16)
+            out, st, _m = chain_kernel_stream(chain, states, cs, unroll=32)
             return jnp.sum(out[..., -1]), out.shape
     elif fused == "chain_fused":
         from juicy_tpu.runtime.chain_fused import fused_chain_stream
@@ -268,7 +268,8 @@ def bench_realtime_streams(stream_counts=(2048, 4096, 8192, 16384),
     sustained_max = 0
     for k in stream_counts:
         states = jax.vmap(lambda _: chain.init_state())(jnp.arange(k))
-        kernel_ok = k % 512 == 0   # the StreamServer executor selection
+        from juicy_tpu.kernels import stage_kernels as sk
+        kernel_ok = k % sk.TILE == 0   # the StreamServer executor selection
 
         @jax.jit
         def step_k(sts, seed):

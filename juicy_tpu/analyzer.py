@@ -242,13 +242,16 @@ def analyze(state: Dict[str, jnp.ndarray], block: jnp.ndarray, sr: float
                              corr_accum, l_energy, r_energy, n, sr)
 
 
-def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
-                      transient_accum, onset_count, rms_accum, peak,
-                      low_accum, high_accum, side_accum, mid_accum,
-                      corr_accum, l_energy, r_energy, n: int, sr: float):
-    """Score formulas from the block accumulators (cpp:94-154). Shared by the
-    scan implementation above and the fused Pallas kernel
-    (kernels/analyzer_kernel.py)."""
+def _lane_stateless(s_env, l_env, low_state, high_state, cooldown,
+                    transient_accum, onset_count, rms_accum, peak,
+                    low_accum, high_accum, side_accum, mid_accum,
+                    corr_accum, l_energy, r_energy, n: int, sr: float):
+    """EMA-independent slice of the score formulas (cpp:94-154): every
+    feature/metric that depends only on THIS block's lane accumulators.
+    Returns (metrics-without-EMA-fields, ema inputs). Split out so the
+    stream finalize can vectorize it over all blocks at once
+    (kernels/chain_kernel._finalize_stream); _finalize_metrics composes it
+    back with _ema_update for identical results."""
     inv_n = jnp.float32(1.0 / n)
     rms = jnp.sqrt(rms_accum * inv_n + jnp.float32(1.0e-12))
     crest = peak / (rms + jnp.float32(1.0e-6))
@@ -281,12 +284,8 @@ def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
     width = jlimit(0.0, 1.0, width_ratio * jnp.float32(2.0))
     mono_safety = jlimit(0.0, 1.0, jnp.float32(0.5) * (corr + jnp.float32(1.0)))
 
-    # --- EMAs: once per analyze() call (cpp:124-137) ---
     block_seconds = jnp.float32(n / sr)
     onset_rate = onset_count.astype(jnp.float32) / block_seconds
-    repetition_ema = state["repetition_ema"] + \
-        (onset_rate - state["repetition_ema"]) * jnp.float32(0.08)
-    repetition_density = jlimit(0.0, 1.0, repetition_ema / jnp.float32(12.0))
 
     emphasis = jlimit(0.0, 1.0, jnp.float32(0.62) * punch + jnp.float32(0.38)
                       * jlimit(0.0, 1.0, transient_mean * jnp.float32(8.5)))
@@ -300,12 +299,6 @@ def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
 
     crest_penalty = jlimit(0.0, 1.0, (jnp.float32(1.8) - crest) * jnp.float32(1.1))
     harsh_penalty = jlimit(0.0, 1.0, high_energy * jnp.float32(12.0))
-    instant_fatigue = jlimit(0.0, 1.0, jnp.float32(0.35) * crest_penalty
-                             + jnp.float32(0.35) * harsh_penalty
-                             + jnp.float32(0.30) * repetition_density)
-    fatigue_ema = state["fatigue_ema"] + \
-        (instant_fatigue - state["fatigue_ema"]) * jnp.float32(0.06)
-    fatigue_risk = jlimit(0.0, 1.0, fatigue_ema)
 
     # --- final score (cpp:139-141) ---
     score = jnp.float32(100.0) * (jnp.float32(0.30) * punch
@@ -314,6 +307,55 @@ def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
                                   + jnp.float32(0.20) * width)
     score = score * (jnp.float32(0.6) + jnp.float32(0.4) * mono_safety)
     score = jlimit(0.0, 100.0, score)
+
+    metrics = {
+        "score": score,
+        "pre_score": jnp.zeros_like(score),
+        "post_score": jnp.zeros_like(score),
+        "emphasis": emphasis,
+        "coherence": coherence,
+        "synesthesia": synesthesia,
+        "punch": punch,
+        "richness": richness,
+        "clarity": clarity,
+        "width": width,
+        "mono_safety": mono_safety,
+    }
+    ema_in = {"onset_rate": onset_rate, "crest_penalty": crest_penalty,
+              "harsh_penalty": harsh_penalty}
+    return metrics, ema_in
+
+
+def _ema_update(repetition_ema, fatigue_ema, ema_in):
+    """The only cross-block analyzer recurrence: the repetition/fatigue
+    EMA pair, advanced once per analyze()/finalize (cpp:124-137)."""
+    repetition_ema = repetition_ema + \
+        (ema_in["onset_rate"] - repetition_ema) * jnp.float32(0.08)
+    repetition_density = jlimit(0.0, 1.0, repetition_ema / jnp.float32(12.0))
+
+    instant_fatigue = jlimit(0.0, 1.0, jnp.float32(0.35) * ema_in["crest_penalty"]
+                             + jnp.float32(0.35) * ema_in["harsh_penalty"]
+                             + jnp.float32(0.30) * repetition_density)
+    fatigue_ema = fatigue_ema + \
+        (instant_fatigue - fatigue_ema) * jnp.float32(0.06)
+    fatigue_risk = jlimit(0.0, 1.0, fatigue_ema)
+    return repetition_ema, fatigue_ema, repetition_density, fatigue_risk
+
+
+def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
+                      transient_accum, onset_count, rms_accum, peak,
+                      low_accum, high_accum, side_accum, mid_accum,
+                      corr_accum, l_energy, r_energy, n: int, sr: float):
+    """Score formulas from the block accumulators (cpp:94-154). Shared by the
+    scan implementation above, the fused Pallas kernel
+    (kernels/analyzer_kernel.py) and — split into _lane_stateless +
+    _ema_update — the chain kernel's vectorized stream finalize."""
+    metrics, ema_in = _lane_stateless(
+        s_env, l_env, low_state, high_state, cooldown, transient_accum,
+        onset_count, rms_accum, peak, low_accum, high_accum, side_accum,
+        mid_accum, corr_accum, l_energy, r_energy, n, sr)
+    repetition_ema, fatigue_ema, repetition_density, fatigue_risk = \
+        _ema_update(state["repetition_ema"], state["fatigue_ema"], ema_in)
 
     new_state = {
         "short_env": s_env,
@@ -324,19 +366,7 @@ def _finalize_metrics(state, s_env, l_env, low_state, high_state, cooldown,
         "fatigue_ema": fatigue_ema,
         "onset_cooldown": cooldown,
     }
-    metrics: JuicinessMetrics = {
-        "score": score,
-        "pre_score": jnp.zeros_like(score),
-        "post_score": jnp.zeros_like(score),
-        "emphasis": emphasis,
-        "coherence": coherence,
-        "synesthesia": synesthesia,
-        "fatigue_risk": fatigue_risk,
-        "repetition_density": repetition_density,
-        "punch": punch,
-        "richness": richness,
-        "clarity": clarity,
-        "width": width,
-        "mono_safety": mono_safety,
-    }
+    metrics = dict(metrics)
+    metrics["repetition_density"] = repetition_density
+    metrics["fatigue_risk"] = fatigue_risk
     return new_state, metrics

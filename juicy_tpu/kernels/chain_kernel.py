@@ -21,7 +21,7 @@ attack both:
     the block-local width shrink (a ~6-op loop); the Haas read is ONE
     dynamic slice of the VMEM window and everything else is vectorized.
 
-Front kernel (per block, per (8,128)-tiled clip batch):
+Front kernel (per block, per (16,128)-tiled clip batch):
   loop 1: punch DSP + saturator DSP + texture DSP (in-kernel LCG noise)
           + motion pass-1 chained at register level, plus the four PRE
           lanes packed into one body;
@@ -90,7 +90,8 @@ from jax.experimental.pallas import tpu as pltpu
 from juicy_tpu.kernels import stage_kernels as sk
 from juicy_tpu.models import (motion as _motion, punch as _punch,
                               saturator as _sat, texture as _texture)
-from juicy_tpu.utils.convert import (db_to_gain, jmap, onepole_coeff,
+from juicy_tpu.utils.convert import (db_to_gain, jlimit, jmap,
+                                     onepole_coeff,
                                      tau_coeff)
 
 CHAIN_ORDER = ("punch", "saturator", "texture", "motion", "width",
@@ -107,6 +108,12 @@ _B_LANES = ("width_post", "cohere_pre", "cohere_post", "infer_pre",
 _MOTION_KC_KEYS = ("var_slew", "motion_inc", "lfo_depth", "depth",
                    "micro_var", "tail_feedback", "mix", "out_gain",
                    "budget_coeff", "budget_target")
+
+
+# Mosaic's default scoped-VMEM budget is ~16 MB; v5e cores physically have
+# 128 MiB of VMEM, and the multi-stage kernels legitimately hold the block's
+# streams + scratches resident.  Raise the ceiling so wider tiles fit.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 class ChainKernelUnsupported(Exception):
@@ -269,11 +276,17 @@ def _lane_slices(fin_t, acc_t, idx: int):
 def _front_kernel(mode, n, c, unroll, sr, H, L,
                   params_ref, lcg_a_ref, lcg_b_ref, widx_ref,
                   x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
-                  mmono_ref, mchan_ref, mrng_ref, lanes_ref, hist_ref,
+                  mmono_ref, mchan_ref, mrng_ref, pffin_ref, pbfin_ref,
+                  hist_ref,
                   out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
                   mmono_out, mchan_out, mrng_out, fin_ref, acc_ref,
                   newhist_ref, y1_ref, y2_ref, ch_scratch, window_ref,
                   dma_sem):
+    # Lane state threads block-to-block ENTIRELY in fin-tile form: each
+    # pre lane inits from the previous block's POST lane rows (one shared
+    # analyzer instance per plugin threads pre -> post -> next pre,
+    # JuicinessAnalyzer.h:33-43). pffin_ref/pbfin_ref are the previous
+    # block's fin outputs (or the seed tiles, _lane_seed_tiles).
     msub = sk.MSUB
     csub = c * msub
     wave = mode in (2, 3)
@@ -336,7 +349,7 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
      mphase0, mcd0) = ms
     mrng0 = mrng_ref[...]
 
-    lane_pre = _lane9_init_at(lanes_ref, (0, 1, 2, 3))
+    lane_pre = _lane9_init_at(pffin_ref, (1, 3, 5, 7))
 
     # ---- loop 1: punch + sat + texture DSP + motion p1 + packed pre lanes
     # Wave (waveguide) materials trade the full-stereo y1/y2 scratches for
@@ -517,7 +530,7 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
                                 (repetition_scale, recovery),
                                 jnp.float32(0.85), sr) if c > 1 else None
     lane_mw0 = _lane9_pack([_lane9_reset(lp_m),
-                            _lane9_init_at(lanes_ref, (4,))])
+                            _lane9_init_at(pbfin_ref, (0,))])
     carry0 = (vt_s, vtr_s, vtl_s, phase_s, mchan_row(0, c - 1),
               mchan_row(1, c - 1), mchan_row(2, c - 1), be, lane_mw0)
 
@@ -822,6 +835,48 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
     _store_lane9(lane_i2, s_y7, fin_ref, acc_ref, 4)
 
 
+# ---------------------------------------------------------------------------
+# Mono kernel: the whole 7-plugin chain in ONE pallas_call — the front and
+# back bodies run back-to-back with the width input stream (x5) held in a
+# VMEM scratch, so the only HBM round trip left per block is in/out audio.
+# The width analyzer's pre->post lane handoff (one shared instance threads
+# pre to post, JuicinessAnalyzer.h:33-43) happens in-kernel: the front
+# stores the width-pre lane at fin slot 8 in the same 5-row format the
+# back's lane init reads.
+# ---------------------------------------------------------------------------
+
+def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
+                 fp_ref, lcg_a_ref, lcg_b_ref, widx_ref, bp_ref,
+                 x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
+                 mmono_ref, mchan_ref, mrng_ref, pffin_ref, hist_ref,
+                 win_ref, cmono_ref, ctail_ref, pbfin_ref,
+                 out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
+                 mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
+                 newhist_ref, newwin_ref, cmono_out, ctail_out,
+                 bfin_ref, bacc_ref,
+                 y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
+                 bwin_ref, bl_ref, dma_sem):
+    msub = sk.MSUB
+    _front_kernel(mode, n, c, unroll, sr, H, L,
+                  fp_ref, lcg_a_ref, lcg_b_ref, widx_ref,
+                  x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
+                  mmono_ref, mchan_ref, mrng_ref, pffin_ref, pbfin_ref,
+                  hist_ref,
+                  x4_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
+                  mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
+                  newhist_ref, y1_ref, y2_ref, m0_ref, fwin_ref, dma_sem)
+    # back lane inits, all in the shared 5-row fin format: slot 0 = THIS
+    # block's width-pre final (front fin slot 8); slots 1/2 = previous
+    # block's cohere/infer POST lanes (prev bfin slots 2/4)
+    bl_ref[0:5 * msub, :] = ffin_ref[8 * 5 * msub:9 * 5 * msub, :]
+    bl_ref[5 * msub:10 * msub, :] = pbfin_ref[2 * 5 * msub:3 * 5 * msub, :]
+    bl_ref[10 * msub:15 * msub, :] = pbfin_ref[4 * 5 * msub:5 * 5 * msub, :]
+    _back_kernel(n, c, unroll, D,
+                 bp_ref, x4_ref, win_ref, cmono_ref, ctail_ref, bl_ref,
+                 out_ref, newwin_ref, cmono_out, ctail_out, bfin_ref,
+                 bacc_ref, x5_ref, bwin_ref, dma_sem)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -838,15 +893,12 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
 _TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4}
 
 
-def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
-                     interpret: bool):
-    """Static setup for the front kernel. Returns (pack, call, unpack):
-    pack(states) -> tiles; call(x_tile, tiles, lanes0) ->
-    (out_tile, tiles', fin, acc); unpack(tiles, states0) -> dsp dicts."""
-    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
+def _front_setup(chain, states0, mode: int):
+    """Stream-constant inputs + dims shared by the front and mono
+    machineries: (pvec, lcg_a, lcg_b, dims dict)."""
+    msub = sk.MSUB
     c, n, sr = chain.channels, chain.block_size, chain.sr
     csub = c * msub
-    grid = bsz // tile
     nmat = _TEX_NMAT[mode]
     params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
 
@@ -865,7 +917,7 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
           *sk.tex_param_list(params[2], states0[2]["dsp"], sr, mode)]
     pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
 
-    from juicy_tpu.ops.noise import _jump_coefficients, lcg_advance
+    from juicy_tpu.ops.noise import _jump_coefficients
     a_np, b_np = _jump_coefficients(c * n)
     lcg_a = jnp.asarray(a_np)[None]
     lcg_b = jnp.asarray(b_np)[None]
@@ -873,70 +925,65 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
     wave = mode in (2, 3)
     L = _texture.waveguide_size(sr) if wave else 0
     H = sk._tex_hist_len(mode, sr) if wave else 0
-    hist_rows = H * csub if wave else 8
-    yrows = n * (msub if wave else csub)
-    win_rows = (H + n) * csub if wave else 8
+    dims = dict(wave=wave, L=L, H=H, nmat=nmat,
+                hist_rows=H * csub if wave else 8,
+                yrows=n * (msub if wave else csub),
+                win_rows=(H + n) * csub if wave else 8)
+    return pvec, lcg_a, lcg_b, dims
 
-    kernel = functools.partial(_front_kernel, mode, n, c, unroll, sr, H, L)
 
-    def wrapped(params_ref, lcg_a_ref, lcg_b_ref, widx_ref, x_ref, pdsp_ref,
-                sdsp_ref, tdsp_ref, tmat_ref, trng_ref, mmono_ref,
-                mchan_ref, mrng_ref, lanes_ref, hist_ref, out_ref, pdsp_out,
-                sdsp_out, tdsp_out, tmat_out, mmono_out, mchan_out,
-                mrng_out, fin_ref, acc_ref, newhist_ref, y1_ref, y2_ref,
-                m0_ref, window_ref, dma_sem):
-        kernel(params_ref, lcg_a_ref, lcg_b_ref, widx_ref,
-               x_ref.at[0], pdsp_ref.at[0], sdsp_ref.at[0], tdsp_ref.at[0],
-               tmat_ref.at[0], trng_ref.at[0], mmono_ref.at[0],
-               mchan_ref.at[0], mrng_ref.at[0], lanes_ref.at[0], hist_ref,
-               out_ref.at[0], pdsp_out.at[0], sdsp_out.at[0],
-               tdsp_out.at[0], tmat_out.at[0], mmono_out.at[0],
-               mchan_out.at[0], mrng_out.at[0], fin_ref.at[0],
-               acc_ref.at[0], newhist_ref, y1_ref, y2_ref, m0_ref,
-               window_ref, dma_sem)
+def _back_setup(chain, states0):
+    """Stream-constant back-kernel inputs: (pvec, D)."""
+    msub = sk.MSUB
+    n, sr = chain.block_size, chain.sr
+    w_params = chain.plugins[4].full_params(chain.params[4])
+    co_params = chain.plugins[5].full_params(chain.params[5])
+    in_params = chain.plugins[6].full_params(chain.params[6])
+    D = states0[4]["dsp"]["haas_window"].shape[-1]
+    if (D * msub) % 8:
+        raise ChainKernelUnsupported(
+            f"haas window size {D} breaks row alignment (D*MSUB % 8 != 0)")
+    if D < n:
+        raise ChainKernelUnsupported(
+            f"haas window {D} shorter than block {n}")
 
-    def smem(w):
-        return pl.BlockSpec((1, w), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
+    # delaySamples = int(sr * (haasMs · 0.001f)) — float32 product,
+    # truncated toward zero (cpp:92), matching models/width.py
+    delay = (jnp.float32(sr) * (jnp.asarray(w_params["haasMs"], jnp.float32)
+                                * jnp.float32(0.001))).astype(jnp.int32)
+    pv = [*sk._lane_consts(sr),
+          jnp.asarray(w_params["width"], jnp.float32),
+          jmap(w_params["monoSafe"], 1.0, 0.35),
+          jnp.asarray(w_params["mix"], jnp.float32),
+          db_to_gain(w_params["output"]),
+          delay.astype(jnp.float32),
+          onepole_coeff(220.0, sr), onepole_coeff(2400.0, sr),
+          jnp.asarray(co_params["match"], jnp.float32),
+          jnp.asarray(co_params["learn"], jnp.float32),
+          jnp.asarray(co_params["decay"], jnp.float32),
+          jnp.asarray(co_params["tail"], jnp.float32),
+          jnp.asarray(co_params["mix"], jnp.float32),
+          db_to_gain(co_params["output"]),
+          db_to_gain(in_params["trim"]),
+          jnp.float32(1.0 / max(1, n))]
+    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+    return pvec, D
 
-    ts = sk._tilespec
-    anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    pcall = functools.partial(
-        pl.pallas_call, wrapped,
-        grid=(grid,),
-        in_specs=[
-            smem(pvec.shape[1]), smem(c * n), smem(c * n), smem(1),
-            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
-            ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
-            ts(msub), ts(25 * msub), anyspec,
-        ],
-        out_specs=[
-            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
-            ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
-            ts(45 * msub), ts(90 * msub), anyspec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 2 * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 9 * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, nmat * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 11 * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 3 * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, msub, lanes_n), jnp.uint32),
-            jax.ShapeDtypeStruct((grid, 45 * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 90 * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, hist_rows, lanes_n), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((yrows, lanes_n), jnp.float32),
-            pltpu.VMEM((yrows, lanes_n), jnp.float32),
-            pltpu.VMEM((n * msub, lanes_n), jnp.float32),
-            pltpu.VMEM((win_rows, lanes_n), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )
+
+def _front_packers(chain, states0, mode: int, bsz: int):
+    """Front-state layout packers: pack(states) -> tiles;
+    unpack(tiles, states0) -> dsp dicts. (The pallas plumbing lives in
+    _mono_machinery.)"""
+    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
+    c, n, sr = chain.channels, chain.block_size, chain.sr
+    csub = c * msub
+    grid = bsz // tile
+    from juicy_tpu.ops.noise import lcg_advance
+
+    pvec, lcg_a, lcg_b, dims = _front_setup(chain, states0, mode)
+    wave, L, H, nmat = dims["wave"], dims["L"], dims["H"], dims["nmat"]
+    hist_rows, yrows, win_rows = (dims["hist_rows"], dims["yrows"],
+                                  dims["win_rows"])
 
     def pack(states):
         tdsp = states[2]["dsp"]
@@ -964,23 +1011,6 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
             tiles["thist"] = jnp.zeros((grid, 8, lanes_n), jnp.float32)
             tiles["twidx"] = jnp.zeros((1, 1), jnp.float32)
         return tiles
-
-    def call(x_tile, tiles, lanes0):
-        (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
-         fin, acc, newhist) = pcall()(
-            pvec, lcg_a, lcg_b, tiles["twidx"], x_tile, tiles["pdsp"],
-            tiles["sdsp"], tiles["tdsp"], tiles["tmat"], tiles["trng"],
-            tiles["mmono"], tiles["mchan"], tiles["mrng"], lanes0,
-            tiles["thist"])
-        tiles2 = {"pdsp": pdsp_f, "sdsp": sdsp_f, "tdsp": tdsp_f,
-                  "tmat": tmat_f,
-                  # draw count per block is static: closed-form LCG jump
-                  "trng": lcg_advance(tiles["trng"], c * n),
-                  "mmono": mmono_f, "mchan": mchan_f, "mrng": mrng_f,
-                  "thist": newhist if wave else tiles["thist"],
-                  "twidx": (jnp.mod(tiles["twidx"] + n, L) if wave
-                            else tiles["twidx"])}
-        return out, tiles2, fin, acc
 
     def unpack(tiles, states0):
         fast_f, slow_f = sk.tiles_to_state(tiles["pdsp"], bsz, c, 2)
@@ -1015,85 +1045,16 @@ def _front_machinery(chain, states0, mode: int, bsz: int, unroll: int,
                 lp_f, tail_f, prev_f),
         }
 
-    return pack, call, unpack
+    return pack, unpack
 
 
-def _back_machinery(chain, states0, bsz: int, unroll: int, interpret: bool):
-    """Static setup for the back kernel (width -> cohere -> infer)."""
+def _back_packers(chain, states0, bsz: int):
+    """Back-state layout packers (width -> cohere -> infer)."""
     msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
     c, n, sr = chain.channels, chain.block_size, chain.sr
     csub = c * msub
     grid = bsz // tile
-    w_params = chain.plugins[4].full_params(chain.params[4])
-    co_params = chain.plugins[5].full_params(chain.params[5])
-    in_params = chain.plugins[6].full_params(chain.params[6])
-    D = states0[4]["dsp"]["haas_window"].shape[-1]
-    if (D * msub) % 8:
-        raise ChainKernelUnsupported(
-            f"haas window size {D} breaks row alignment (D*MSUB % 8 != 0)")
-    if D < n:
-        raise ChainKernelUnsupported(
-            f"haas window {D} shorter than block {n}")
-
-    # delaySamples = int(sr * (haasMs · 0.001f)) — float32 product,
-    # truncated toward zero (cpp:92), matching models/width.py
-    delay = (jnp.float32(sr) * (jnp.asarray(w_params["haasMs"], jnp.float32)
-                                * jnp.float32(0.001))).astype(jnp.int32)
-    pv = [*sk._lane_consts(sr),
-          jnp.asarray(w_params["width"], jnp.float32),
-          jmap(w_params["monoSafe"], 1.0, 0.35),
-          jnp.asarray(w_params["mix"], jnp.float32),
-          db_to_gain(w_params["output"]),
-          delay.astype(jnp.float32),
-          onepole_coeff(220.0, sr), onepole_coeff(2400.0, sr),
-          jnp.asarray(co_params["match"], jnp.float32),
-          jnp.asarray(co_params["learn"], jnp.float32),
-          jnp.asarray(co_params["decay"], jnp.float32),
-          jnp.asarray(co_params["tail"], jnp.float32),
-          jnp.asarray(co_params["mix"], jnp.float32),
-          db_to_gain(co_params["output"]),
-          db_to_gain(in_params["trim"]),
-          jnp.float32(1.0 / max(1, n))]
-    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
-
-    kernel = functools.partial(_back_kernel, n, c, unroll, D)
-
-    def wrapped(params_ref, x_ref, win_ref, cmono_ref, ctail_ref, lanes_ref,
-                out_ref, newwin_ref, cmono_out, ctail_out, fin_ref, acc_ref,
-                x5_ref, window_ref, dma_sem):
-        kernel(params_ref, x_ref.at[0], win_ref, cmono_ref.at[0],
-               ctail_ref.at[0], lanes_ref.at[0], out_ref.at[0], newwin_ref,
-               cmono_out.at[0], ctail_out.at[0], fin_ref.at[0],
-               acc_ref.at[0], x5_ref, window_ref, dma_sem)
-
-    def smem(w):
-        return pl.BlockSpec((1, w), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-
-    ts = sk._tilespec
-    anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    pcall = functools.partial(
-        pl.pallas_call, wrapped,
-        grid=(grid,),
-        in_specs=[smem(pvec.shape[1]), ts(n * csub), anyspec, ts(5 * msub),
-                  ts(csub), ts(15 * msub)],
-        out_specs=[ts(n * csub), anyspec, ts(6 * msub), ts(csub),
-                   ts(25 * msub), ts(50 * msub)],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, D * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 6 * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 25 * msub, lanes_n), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 50 * msub, lanes_n), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
-            pltpu.VMEM(((D + n) * msub + 8, lanes_n), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )
+    pvec, D = _back_setup(chain, states0)
 
     def pack(states):
         window = jnp.asarray(states[4]["dsp"]["haas_window"], jnp.float32)
@@ -1108,16 +1069,6 @@ def _back_machinery(chain, states0, bsz: int, unroll: int, interpret: bool):
                 jnp.asarray(co["tail"], jnp.float32), (bsz, c))]),
         }
 
-    def call(x_tile, tiles, lanes0):
-        out, newwin, cmono_f, ctail_f, fin, acc = pcall()(
-            pvec, x_tile, tiles["win"], tiles["cmono"], tiles["ctail"],
-            lanes0)
-        # cmono carry rows: analysis_low/high + targets; context_fit rides
-        # row 5 of the output only
-        tiles2 = {"win": newwin, "cmono": cmono_f[:, :5 * msub, :],
-                  "ctail": ctail_f}
-        return out, tiles2, cmono_f, fin, acc
-
     def unpack(tiles, cmono_full):
         new_window = sk.from_stream(tiles["win"], bsz, 1)[:, 0, :]
         mono = sk.tiles_to_mono(cmono_full, bsz, 6)
@@ -1131,7 +1082,160 @@ def _back_machinery(chain, states0, bsz: int, unroll: int, interpret: bool):
         }
         return width_dsp, co_dsp
 
-    return pack, call, unpack
+    return pack, unpack
+
+
+def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
+                    interpret: bool):
+    """Static setup for the single-call (front+back merged) kernel.
+
+    Returns (fpack, bpack, call, funpack, bunpack):
+    call(x_tile, ftiles, btiles, prev_ffin, prev_bfin) ->
+    (out_tile, ftiles', btiles', cmono_full, ffin, facc, bfin, bacc).
+    Lane state threads block-to-block through the fin tiles themselves
+    (seed the first block with _lane_seed_tiles)."""
+    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
+    c, n, sr = chain.channels, chain.block_size, chain.sr
+    csub = c * msub
+    grid = bsz // tile
+    from juicy_tpu.ops.noise import lcg_advance
+
+    fpvec, lcg_a, lcg_b, dims = _front_setup(chain, states0, mode)
+    bpvec, D = _back_setup(chain, states0)
+    wave, L, H, nmat = dims["wave"], dims["L"], dims["H"], dims["nmat"]
+    hist_rows, yrows, win_rows = (dims["hist_rows"], dims["yrows"],
+                                  dims["win_rows"])
+
+    fpack, funpack = _front_packers(chain, states0, mode, bsz)
+    bpack, bunpack = _back_packers(chain, states0, bsz)
+
+    kernel = functools.partial(_mono_kernel, mode, n, c, unroll, sr, H, L,
+                               D)
+
+    def wrapped(fp_ref, lcg_a_ref, lcg_b_ref, widx_ref, bp_ref,
+                x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
+                mmono_ref, mchan_ref, mrng_ref, pffin_ref, hist_ref,
+                win_ref, cmono_ref, ctail_ref, pbfin_ref,
+                out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
+                mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
+                newhist_ref, newwin_ref, cmono_out, ctail_out,
+                bfin_ref, bacc_ref,
+                y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
+                bwin_ref, bl_ref, dma_sem):
+        kernel(fp_ref, lcg_a_ref, lcg_b_ref, widx_ref, bp_ref,
+               x_ref.at[0], pdsp_ref.at[0], sdsp_ref.at[0], tdsp_ref.at[0],
+               tmat_ref.at[0], trng_ref.at[0], mmono_ref.at[0],
+               mchan_ref.at[0], mrng_ref.at[0], pffin_ref.at[0], hist_ref,
+               win_ref, cmono_ref.at[0], ctail_ref.at[0], pbfin_ref.at[0],
+               out_ref.at[0], pdsp_out.at[0], sdsp_out.at[0],
+               tdsp_out.at[0], tmat_out.at[0], mmono_out.at[0],
+               mchan_out.at[0], mrng_out.at[0], ffin_ref.at[0],
+               facc_ref.at[0], newhist_ref, newwin_ref, cmono_out.at[0],
+               ctail_out.at[0], bfin_ref.at[0], bacc_ref.at[0],
+               y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
+               bwin_ref, bl_ref, dma_sem)
+
+    def smem(w):
+        return pl.BlockSpec((1, w), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    ts = sk._tilespec
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    pcall = functools.partial(
+        pl.pallas_call, wrapped,
+        grid=(grid,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        in_specs=[
+            smem(fpvec.shape[1]), smem(c * n), smem(c * n), smem(1),
+            smem(bpvec.shape[1]),
+            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
+            ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
+            ts(msub), ts(45 * msub), anyspec,
+            anyspec, ts(5 * msub), ts(csub), ts(25 * msub),
+        ],
+        out_specs=[
+            ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
+            ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
+            ts(45 * msub), ts(90 * msub), anyspec,
+            anyspec, ts(6 * msub), ts(csub), ts(25 * msub), ts(50 * msub),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, n * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 2 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 9 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, nmat * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 11 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 3 * csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, msub, lanes_n), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 45 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 90 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, hist_rows, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, D * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 6 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, csub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 25 * msub, lanes_n), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 50 * msub, lanes_n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((yrows, lanes_n), jnp.float32),
+            pltpu.VMEM((yrows, lanes_n), jnp.float32),
+            pltpu.VMEM((n * msub, lanes_n), jnp.float32),
+            pltpu.VMEM((win_rows, lanes_n), jnp.float32),
+            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+            pltpu.VMEM((n * csub, lanes_n), jnp.float32),
+            pltpu.VMEM(((D + n) * msub + 8, lanes_n), jnp.float32),
+            pltpu.VMEM((15 * msub, lanes_n), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )
+
+    def call(x_tile, ftiles, btiles, pffin, pbfin):
+        (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
+         ffin, facc, newhist, newwin, cmono_f, ctail_f, bfin,
+         bacc) = pcall()(
+            fpvec, lcg_a, lcg_b, ftiles["twidx"], bpvec, x_tile,
+            ftiles["pdsp"], ftiles["sdsp"], ftiles["tdsp"], ftiles["tmat"],
+            ftiles["trng"], ftiles["mmono"], ftiles["mchan"],
+            ftiles["mrng"], pffin, ftiles["thist"], btiles["win"],
+            btiles["cmono"], btiles["ctail"], pbfin)
+        ftiles2 = {"pdsp": pdsp_f, "sdsp": sdsp_f, "tdsp": tdsp_f,
+                   "tmat": tmat_f,
+                   # draw count per block is static: closed-form LCG jump
+                   "trng": lcg_advance(ftiles["trng"], c * n),
+                   "mmono": mmono_f, "mchan": mchan_f, "mrng": mrng_f,
+                   "thist": newhist if wave else ftiles["thist"],
+                   "twidx": (jnp.mod(ftiles["twidx"] + n, L) if wave
+                             else ftiles["twidx"])}
+        btiles2 = {"win": newwin, "cmono": cmono_f[:, :5 * msub, :],
+                   "ctail": ctail_f}
+        return out, ftiles2, btiles2, cmono_f, ffin, facc, bfin, bacc
+
+    return fpack, bpack, call, funpack, bunpack
+
+
+#: (fin-tile slot holding each plugin's POST lane, which fin tensor) —
+#: where the NEXT block's pre lane reads its analyzer state from.
+_POST_SLOTS_F = {0: 1, 1: 3, 2: 5, 3: 7}     # punch/sat/texture/motion
+_POST_SLOTS_B = {4: 0, 5: 2, 6: 4}           # width/cohere/infer
+
+
+def _lane_seed_tiles(an_states, bsz):
+    """Initial prev-fin tiles for the mono kernel: each analyzer state's
+    5 carry rows placed at the POST-lane slot its pre lane inits from."""
+    msub, lanes_n = sk.MSUB, sk.LANES
+    grid = bsz // sk.TILE
+    ffin0 = jnp.zeros((grid, 45 * msub, lanes_n), jnp.float32)
+    bfin0 = jnp.zeros((grid, 25 * msub, lanes_n), jnp.float32)
+    for i, slot in _POST_SLOTS_F.items():
+        ffin0 = ffin0.at[:, slot * 5 * msub:(slot + 1) * 5 * msub, :].set(
+            sk.pack_lane(an_states[i], bsz))
+    for i, slot in _POST_SLOTS_B.items():
+        bfin0 = bfin0.at[:, slot * 5 * msub:(slot + 1) * 5 * msub, :].set(
+            sk.pack_lane(an_states[i], bsz))
+    return ffin0, bfin0
 
 
 def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
@@ -1165,8 +1269,128 @@ def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
     return new_an, metrics_list
 
 
+def _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s, cms,
+                     bsz, n, sr):
+    """Vectorized lane finalize over a whole stream's stacked fin/acc
+    tiles ([nb, G, rows, 128]): the EMA-independent score formulas run
+    ONCE over all 14 lane instances x nb blocks in tile layout (the
+    [G, MSUB, 128] <-> [B] mapping is a contiguous reshape, so no
+    transposes); the only cross-block recurrence — the repetition/fatigue
+    EMA pair, advanced once per pre and once per post finalize — runs as
+    ONE lax.scan over 2*nb steps for all 7 analyzer instances at once
+    (same serial op order as the per-block path: bit-identical results).
+
+    Returns (new analyzer states, per-block metrics list — leaves
+    [nb, B])."""
+    from juicy_tpu import analyzer as _an
+    from juicy_tpu.runtime.plugin import _default_finalize
+
+    msub, lanes_n = sk.MSUB, sk.LANES
+    nb, grid = ffin_s.shape[0], ffin_s.shape[1]
+
+    # lane axis: 0-8 = front fin slots, 9-13 = back fin slots
+    fin_v = jnp.concatenate(
+        [ffin_s.reshape(nb, grid, 9, 5, msub, lanes_n),
+         bfin_s.reshape(nb, grid, 5, 5, msub, lanes_n)], axis=2)
+    acc_v = jnp.concatenate(
+        [facc_s.reshape(nb, grid, 9, 10, msub, lanes_n),
+         bacc_s.reshape(nb, grid, 5, 10, msub, lanes_n)], axis=2)
+
+    # row slices on the size-5/10 axis are whole-(8,128)-tile strides —
+    # cheap, unlike a transpose of the tiled layout (measured 27 ms)
+    def frow(i):
+        return fin_v[:, :, :, i]              # [nb, G, 14, m, 128]
+
+    def arow(i):
+        return acc_v[:, :, :, i]
+
+    inv_n = jnp.float32(1.0 / n)
+    mets, ema_in = _an._lane_stateless(
+        frow(0), frow(1), frow(2), frow(3), frow(4),
+        arow(0), arow(1), arow(4), arow(5), arow(2), arow(3), arow(6),
+        arow(4), arow(7), jnp.sqrt(arow(8) * inv_n),
+        jnp.sqrt(arow(9) * inv_n), n, sr)
+    # every leaf: [nb, G, 14, m, 128]
+
+    pre_idx = (0, 2, 4, 6, 8, 10, 12)
+    post_idx = (1, 3, 5, 7, 9, 11, 13)
+
+    def interleave(v):
+        # [nb, G, 14, m, 128] -> [2nb, G, 7, m, 128], step 2b = pre(b)
+        pre = v[:, :, pre_idx, :, :]
+        post = v[:, :, post_idx, :, :]
+        return jnp.stack([pre, post], axis=1).reshape(
+            2 * nb, grid, 7, msub, lanes_n)
+
+    ema_seq = jax.tree.map(interleave, ema_in)
+
+    def ema_tiles(key):
+        return jnp.stack([sk.mono_to_tiles([jnp.broadcast_to(
+            jnp.asarray(an0[i][key], jnp.float32), (bsz,))])
+            for i in range(7)], axis=1)          # [G, 7, m, 128]
+
+    rep0, fat0 = ema_tiles("repetition_ema"), ema_tiles("fatigue_ema")
+
+    # Both EMAs are contractive one-poles (coeff 0.08 / 0.06) — the class
+    # this codebase reassociates throughout (README design rule #1) — so
+    # the 2*nb-step chains run as O(log) associative prefix scans instead
+    # of a serial lax.scan (whose ~0.15 ms/step loop overhead dominated).
+    # fatigue depends on repetition_density of the SAME step, so the
+    # repetition chain resolves first. Residual vs the serial order is
+    # ~1e-6 (same bound as the analyzer's associative band splits).
+    def ema_chain(coeff, x, e0):
+        # e_j = (1-coeff)*e_{j-1} + coeff*x_j, prefix over axis 0
+        def comb(l, r):
+            al, bl = l
+            ar, br = r
+            return al * ar, br + ar * bl
+        a = jnp.full_like(x, jnp.float32(1.0 - coeff))
+        aa, bb = jax.lax.associative_scan(
+            comb, (a, jnp.float32(coeff) * x), axis=0)
+        return bb + aa * e0[None]
+
+    rep = ema_chain(0.08, ema_seq["onset_rate"], rep0)
+    density = jlimit(0.0, 1.0, rep / jnp.float32(12.0))
+    instant = jlimit(0.0, 1.0, jnp.float32(0.35) * ema_seq["crest_penalty"]
+                     + jnp.float32(0.35) * ema_seq["harsh_penalty"]
+                     + jnp.float32(0.30) * density)
+    fat = ema_chain(0.06, instant, fat0)
+    risk = jlimit(0.0, 1.0, fat)
+    rep_f, fat_f = rep[-1], fat[-1]
+
+    def to_b(v):                                 # [nb, G, m, 128] -> [nb, B]
+        return v.reshape(nb, bsz)
+
+    cf_s = to_b(cms[:, :, 5 * msub:6 * msub, :])
+
+    new_an, metrics_list = [], []
+    for i, plug in enumerate(chain.plugins):
+        pre_m = {k: to_b(v[:, :, pre_idx[i]]) for k, v in mets.items()}
+        post_m = {k: to_b(v[:, :, post_idx[i]]) for k, v in mets.items()}
+        pre_m["repetition_density"] = to_b(density[0::2, :, i])
+        pre_m["fatigue_risk"] = to_b(risk[0::2, :, i])
+        post_m["repetition_density"] = to_b(density[1::2, :, i])
+        post_m["fatigue_risk"] = to_b(risk[1::2, :, i])
+        finalize = plug.defn.finalize_metrics or _default_finalize
+        carry = {"context_fit": cf_s} if i == 5 else None
+        metrics_list.append(finalize(plug.full_params(chain.params[i]),
+                                     pre_m, post_m, carry))
+        last = fin_v[-1, :, post_idx[i]]         # [G, 5, m, 128]
+        new_an.append({
+            "short_env": last[:, 0].reshape(bsz),
+            "long_env": last[:, 1].reshape(bsz),
+            "low_state": last[:, 2].reshape(bsz),
+            "high_state": last[:, 3].reshape(bsz),
+            "onset_cooldown": last[:, 4].reshape(bsz).astype(
+                jnp.asarray(an0[i]["onset_cooldown"]).dtype),
+            "repetition_ema": rep_f[:, i].reshape(bsz),
+            "fatigue_ema": fat_f[:, i].reshape(bsz),
+        })
+    return new_an, metrics_list
+
+
 def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
-                      block: jnp.ndarray, unroll: int = 8,
+                      block: jnp.ndarray, unroll: int = 16,
                       interpret: bool = False):
     """One block [B, C, N] through the whole 7-plugin chain on the kernel
     path. Same contract as runtime.chain_fused.fused_chain_step with
@@ -1187,22 +1411,15 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     sr = chain.sr
     states = list(states)
 
-    fpack, fcall, funpack = _front_machinery(chain, states, mode, bsz,
-                                             unroll, interpret)
-    bpack, bcall, bunpack = _back_machinery(chain, states, bsz, unroll,
-                                            interpret)
+    fpack, bpack, mcall, funpack, bunpack = _mono_machinery(
+        chain, states, mode, bsz, unroll, interpret)
     an_states = [states[i]["analyzer"] for i in range(7)]
 
     ftiles = fpack(states)
     btiles = bpack(states)
-    lanes0f = jnp.concatenate(
-        [sk.pack_lane(an_states[i], bsz) for i in range(5)], axis=1)
-    x4_t, ftiles, ffin, facc = fcall(sk.to_stream(block), ftiles, lanes0f)
-    wfin, _ = _lane_slices(ffin, facc, 8)
-    lanes0b = jnp.concatenate(
-        [wfin, sk.pack_lane(an_states[5], bsz),
-         sk.pack_lane(an_states[6], bsz)], axis=1)
-    out_t, btiles, cmono_full, bfin, bacc = bcall(x4_t, btiles, lanes0b)
+    ffin0, bfin0 = _lane_seed_tiles(an_states, bsz)
+    (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
+     bacc) = mcall(sk.to_stream(block), ftiles, btiles, ffin0, bfin0)
 
     front_dsp = funpack(ftiles, states)
     width_dsp, co_dsp = bunpack(btiles, cmono_full)
@@ -1218,7 +1435,7 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
 
 
 def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
-                        unroll: int = 8, interpret: bool = False):
+                        unroll: int = 16, interpret: bool = False):
     """Stream a [B, C, T] corpus through the kernel chain block-major,
     entirely in kernel-tile layout (states and audio repack exactly once).
     Same contract as runtime.chain_fused.fused_chain_stream."""
@@ -1241,55 +1458,44 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     nb = t // n
     states = list(states)
 
-    fpack, fcall, funpack = _front_machinery(chain, states, mode, bsz,
-                                             unroll, interpret)
-    bpack, bcall, bunpack = _back_machinery(chain, states, bsz, unroll,
-                                            interpret)
+    fpack, bpack, mcall, funpack, bunpack = _mono_machinery(
+        chain, states, mode, bsz, unroll, interpret)
 
     # ONE layout pass over the whole corpus: [B, C, T] -> [nb, G, rows, 128]
-    blocks = jnp.moveaxis(clips.reshape(bsz, c, nb, n), 2, 0)
-    x_tiles = jax.vmap(sk.to_stream)(blocks)
+    # as a single 6-D transpose — measured 1.6x faster on TPU than the
+    # per-block vmap(to_stream) composition (same element mapping).
+    msub, lanes_n = sk.MSUB, sk.LANES
+    grid = bsz // sk.TILE
+    x_tiles = clips.reshape(grid, msub, lanes_n, c, nb, n).transpose(
+        4, 0, 5, 3, 1, 2).reshape(nb, grid, n * c * msub, lanes_n)
 
     an0 = [states[i]["analyzer"] for i in range(7)]
-    carry0 = (fpack(states), bpack(states), an0)
+    ffin0, bfin0 = _lane_seed_tiles(an0, bsz)
+    carry0 = (fpack(states), bpack(states), ffin0, bfin0)
 
+    # The audio scan is kernel-only: lane state threads block-to-block
+    # through the fin tiles themselves, raw fin/acc stack per block, and
+    # ALL score formulas run afterwards in one nb-parallel pass
+    # (_finalize_stream) — no per-block XLA work in the hot loop.
     def body(carry, x_t):
-        ftiles, btiles, an_states = carry
-        lanes0f = jnp.concatenate(
-            [sk.pack_lane(an_states[i], bsz) for i in range(5)], axis=1)
-        x4_t, ftiles, ffin, facc = fcall(x_t, ftiles, lanes0f)
-        wfin, _ = _lane_slices(ffin, facc, 8)
-        lanes0b = jnp.concatenate(
-            [wfin, sk.pack_lane(an_states[5], bsz),
-             sk.pack_lane(an_states[6], bsz)], axis=1)
-        out_t, btiles, cmono_full, bfin, bacc = bcall(x4_t, btiles, lanes0b)
-        cf = sk.tiles_to_mono(cmono_full[:, 5 * sk.MSUB:6 * sk.MSUB, :],
-                              bsz, 1)[0]
-        new_an, metrics_list = _finalize_block(
-            chain, an_states, ffin, facc, bfin, bacc, cf, bsz, n, sr)
-        return (ftiles, btiles, new_an), (out_t, metrics_list, cmono_full)
+        ftiles, btiles, pffin, pbfin = carry
+        (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
+         bacc) = mcall(x_t, ftiles, btiles, pffin, pbfin)
+        return ((ftiles, btiles, ffin, bfin),
+                (out_t, ffin, facc, bfin, bacc, cmono_full))
 
+    carry, (out_tiles, ffin_s, facc_s, bfin_s, bacc_s, cms) = jax.lax.scan(
+        body, carry0, x_tiles)
+    ftiles, btiles, _ffin_l, _bfin_l = carry
+    cmono_full = jax.tree.map(lambda v: v[-1], cms)
+
+    an_f, ms = _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s,
+                                cms, bsz, n, sr)
     if metrics == "final":
-        carry, (out0_t, m0, cm0) = body(carry0, x_tiles[0])
+        ms = jax.tree.map(lambda v: v[-1], ms)
+    elif metrics == "none":
+        ms = None
 
-        def scan_step(c2, x_t):
-            carry, _m, _cm = c2[0], c2[1], c2[2]
-            carry, (out_t, m, cm) = body(carry, x_t)
-            return (carry, m, cm), out_t
-        (carry, ms, cmono_full), outs_rest = jax.lax.scan(
-            scan_step, (carry, m0, cm0), x_tiles[1:])
-        out_tiles = jnp.concatenate([out0_t[None], outs_rest], axis=0)
-    else:
-        def scan_step(carry, x_t):
-            carry, (out_t, m, cm) = body(carry, x_t)
-            return carry, (out_t, m, cm)
-        carry, (out_tiles, ms, cms) = jax.lax.scan(scan_step, carry0,
-                                                   x_tiles)
-        cmono_full = jax.tree.map(lambda v: v[-1], cms)
-        if metrics == "none":
-            ms = None
-
-    ftiles, btiles, an_f = carry
     front_dsp = funpack(ftiles, states)
     width_dsp, co_dsp = bunpack(btiles, cmono_full)
     dsp_list = [front_dsp["punch"], front_dsp["saturator"],
@@ -1298,7 +1504,7 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     new_states = [{"analyzer": a, "dsp": d}
                   for a, d in zip(an_f, dsp_list)]
 
-    # ONE layout pass back: [nb, G, rows, 128] -> [B, C, T]
-    outs = jax.vmap(lambda o: sk.from_stream(o, bsz, c))(out_tiles)
-    out = jnp.moveaxis(outs, 0, 2).reshape(bsz, c, t)
+    # ONE layout pass back, the inverse single transpose
+    out = out_tiles.reshape(nb, grid, n, c, msub, lanes_n).transpose(
+        1, 4, 5, 3, 0, 2).reshape(bsz, c, t)
     return out, new_states, ms

@@ -14,10 +14,15 @@ state (envelopes, onset counter, band filters) and all block accumulators
 kernel in the exact float32 op order of the C++; the block-level score
 formulas run outside in plain XLA (cheap, once per block).
 
-Layout: one sample of one clip-tile is a full ``(SUB, 128)`` vreg tile —
-``TILE = 512`` clips × 2 channels = 1024 lanes = ``(8, 128)`` — so every
+Layout: one sample of one clip-tile spans full ``(SUB, 128)`` vreg tiles —
+``TILE = 1024`` clips × 2 channels = 2048 lanes = ``(16, 128)`` — so every
 per-sample op runs at 100% VPU lane utilization (a ``[1, 1024]`` row layout
-would idle 7 of 8 sublanes). Streams are stored ``[G, N·SUB, 128]``: grid
+would idle 7 of 8 sublanes), and the doubled tile (vs the original
+``(8, 128)``/TILE=512 layout) fills the issue slots the serial sample
+recurrences leave idle: measured +23% on the full chain at B=4096,
+plateauing at TILE=2048 (issue-throughput saturated). The wider streams
+need the raised scoped-VMEM ceiling (chain_kernel.VMEM_LIMIT_BYTES).
+Streams are stored ``[G, N·SUB, 128]``: grid
 step g owns rows ``[t·SUB, (t+1)·SUB)`` for sample t; channel slices are the
 sublane halves. Pallas double-buffers the HBM↔VMEM stream transfers across
 grid steps.
@@ -42,7 +47,7 @@ from juicy_tpu import analyzer as _an
 from juicy_tpu.models import punch as _punch
 from juicy_tpu.utils.convert import db_to_gain, onepole_coeff, tau_coeff
 
-TILE = 512          # clips per grid step
+TILE = 1024         # clips per grid step ((16,128) stereo sample tiles)
 LANES = 128
 MSUB = TILE // LANES            # sublane rows per mono ([TILE]) quantity: 4
 

@@ -195,7 +195,10 @@ def test_sharded_kernel_corpus_matches_single_device(rng):
 def test_stage_kernel_corpus_matches_xla(rng):
     """run_corpus(use_kernel=) routes single-plugin corpora onto the winning
     full-stage Pallas kernels (texture/saturator): kernel output must match
-    the XLA batch-major path, single-device and mesh-sharded."""
+    the XLA batch-major path. The 8-device shard_map variant runs in a
+    SUBPROCESS: two different interpret-mode Pallas kernels under shard_map
+    in one process trip an XLA-CPU abort (same class the dp/sp dryrun test
+    isolates)."""
     import juicy_tpu.kernels.stage_kernels as sk
     from juicy_tpu.parallel.corpus import run_corpus
     from juicy_tpu.runtime.plugin import Plugin
@@ -203,18 +206,18 @@ def test_stage_kernel_corpus_matches_xla(rng):
     tile, msub = sk.TILE, sk.MSUB
     sk.TILE, sk.MSUB = 128, 1
     try:
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
         for name, static in (("saturator", None), ("texture", {"material": 1})):
             plug = Plugin(name, 48000.0, 2, 128)
             if static:
                 plug = plug.with_static(**static)
             params = plug.full_params(plug.default_params())
             clips = np.stack([make_clip(rng, 2, 128 * 2)
-                              for _ in range(8)] * 128).astype(np.float32)
-            mesh = make_mesh()
+                              for _ in range(8)] * 16).astype(np.float32)
             out_k, last_k, agg_k = run_corpus(
-                plug, params, clips, mesh=mesh, use_kernel="always",
+                plug, params, clips, mesh=single, use_kernel="always",
                 _interpret=True)
-            out_x, last_x, _ = run_corpus(plug, params, clips, mesh=mesh,
+            out_x, last_x, _ = run_corpus(plug, params, clips, mesh=single,
                                           use_kernel="never")
             db = residual_dbfs(np.asarray(out_k), np.asarray(out_x))
             assert db <= -100.0, f"{name} kernel corpus diverges: {db:.1f}"
@@ -226,7 +229,48 @@ def test_stage_kernel_corpus_matches_xla(rng):
         plug = Plugin("punch", 48000.0, 2, 128)
         with pytest.raises(ValueError):
             run_corpus(plug, plug.full_params(plug.default_params()),
-                       clips, mesh=mesh, use_kernel="always",
+                       clips, mesh=single, use_kernel="always",
                        _interpret=True)
     finally:
         sk.TILE, sk.MSUB = tile, msub
+
+
+def test_stage_kernel_corpus_sharded_subprocess():
+    """The mesh-sharded (shard_map) stage-kernel corpus, isolated in a
+    subprocess; asserts sharded == single-device output."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np, jax
+import juicy_tpu.kernels.stage_kernels as sk
+sk.TILE, sk.MSUB = 128, 1
+from juicy_tpu.parallel.corpus import run_corpus
+from juicy_tpu.parallel.mesh import make_mesh
+from jax.sharding import Mesh
+from juicy_tpu.runtime.plugin import Plugin
+
+plug = Plugin("saturator", 48000.0, 2, 128)
+params = plug.full_params(plug.default_params())
+rng = np.random.default_rng(0)
+clips = (rng.standard_normal((1024, 2, 256)) * 0.1).astype(np.float32)
+out_sh, last_sh, agg = run_corpus(plug, params, clips, mesh=make_mesh(),
+                                  use_kernel="always", _interpret=True)
+single = Mesh(np.array(jax.devices()[:1]), ("data",))
+out_1, last_1, _ = run_corpus(plug, params, clips, mesh=single,
+                              use_kernel="always", _interpret=True)
+res = float(np.max(np.abs(np.asarray(out_sh) - np.asarray(out_1))))
+assert res < 1e-6, res
+assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
+print("sharded stage-kernel corpus ok")
+"""
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900, cwd=root, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded stage-kernel corpus ok" in r.stdout
