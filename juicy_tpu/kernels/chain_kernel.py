@@ -974,16 +974,12 @@ def _front_packers(chain, states0, mode: int, bsz: int):
     """Front-state layout packers: pack(states) -> tiles;
     unpack(tiles, states0) -> dsp dicts. (The pallas plumbing lives in
     _mono_machinery.)"""
-    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
+    tile, lanes_n = sk.TILE, sk.LANES
     c, n, sr = chain.channels, chain.block_size, chain.sr
-    csub = c * msub
     grid = bsz // tile
-    from juicy_tpu.ops.noise import lcg_advance
 
-    pvec, lcg_a, lcg_b, dims = _front_setup(chain, states0, mode)
-    wave, L, H, nmat = dims["wave"], dims["L"], dims["H"], dims["nmat"]
-    hist_rows, yrows, win_rows = (dims["hist_rows"], dims["yrows"],
-                                  dims["win_rows"])
+    _pvec, _lcg_a, _lcg_b, dims = _front_setup(chain, states0, mode)
+    wave, L, nmat = dims["wave"], dims["L"], dims["nmat"]
 
     def pack(states):
         tdsp = states[2]["dsp"]
@@ -1050,11 +1046,8 @@ def _front_packers(chain, states0, mode: int, bsz: int):
 
 def _back_packers(chain, states0, bsz: int):
     """Back-state layout packers (width -> cohere -> infer)."""
-    msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
-    c, n, sr = chain.channels, chain.block_size, chain.sr
-    csub = c * msub
-    grid = bsz // tile
-    pvec, D = _back_setup(chain, states0)
+    c = chain.channels
+    _back_setup(chain, states0)          # layout checks (D alignment)
 
     def pack(states):
         window = jnp.asarray(states[4]["dsp"]["haas_window"], jnp.float32)
