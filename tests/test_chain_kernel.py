@@ -125,6 +125,17 @@ def test_chain_kernel_stream_matches_fused(rng):
     for i in range(7):
         assert float(np.max(np.abs(np.asarray(m_k[i]["score"])
                                    - np.asarray(m_f[i]["score"])))) <= 2e-3
+        # the EMA-derived metrics thread the repetition/fatigue pair
+        # across ALL blocks through the kernel path's associative prefix
+        # scan — pin them (and the carried EMA state) against the fused
+        # executor's serial order
+        for key in ("repetition_density", "fatigue_risk"):
+            np.testing.assert_allclose(np.asarray(m_k[i][key]),
+                                       np.asarray(m_f[i][key]), atol=1e-5)
+        for key in ("repetition_ema", "fatigue_ema"):
+            np.testing.assert_allclose(
+                np.asarray(st_k[i]["analyzer"][key]),
+                np.asarray(st_f[i]["analyzer"][key]), atol=1e-4)
 
 
 def test_chain_kernel_unsupported_layouts():
