@@ -1,6 +1,7 @@
-"""Multi-stage VMEM-resident chain kernels: the whole 7-plugin suite as
-TWO ``pallas_call``s per block, every inter-stage audio stream living in
-VMEM.
+"""Multi-stage VMEM-resident chain kernel: the whole 7-plugin suite as
+ONE ``pallas_call`` per block, every inter-stage audio stream living in
+VMEM and the analyzer lane state threading block-to-block inside the
+kernel's own fin tiles.
 
 Why: the fused chain executor (runtime/chain_fused.py) is bound by the
 sequential per-sample structure of the reference semantics — and measured
@@ -8,9 +9,9 @@ profiling (BASELINE.md round 3) shows the chain is issue-bound on the
 serial sample loops, with inter-stage HBM traffic second. These kernels
 attack both:
 
-  * inter-stage streams (punch→sat→texture→motion and width→cohere→infer)
-    never touch HBM — per block each kernel reads ONE stream and writes
-    ONE;
+  * inter-stage streams never touch HBM — per block the kernel reads the
+    input stream and writes the output, with the width handoff (x5) in a
+    VMEM scratch between the front and back halves;
   * the 14 analyzer-lane instances run PACKED: lanes are stacked along the
     sublane axis so one lane-body update advances up to four lanes at full
     VPU width, and every *stateless* lane accumulator (rms/peak/side/corr/
@@ -21,7 +22,7 @@ attack both:
     the block-local width shrink (a ~6-op loop); the Haas read is ONE
     dynamic slice of the VMEM window and everything else is vectorized.
 
-Front kernel (per block, per (16,128)-tiled clip batch):
+Front half (per block, per (16,128)-tiled clip batch):
   loop 1: punch DSP + saturator DSP + texture DSP (in-kernel LCG noise)
           + motion pass-1 chained at register level, plus the four PRE
           lanes packed into one body;
@@ -34,7 +35,7 @@ Front kernel (per block, per (16,128)-tiled clip batch):
           merge (one aligned stereo store per sample) and the packed
           motion-POST + width-PRE lanes over the assembled output.
 
-Back kernel:
+Back half (same call; x5 stays in VMEM):
   loop W: serial width shrink (the block-local ``width *= limit`` quirk,
           JuicyWidth/PluginProcessor.cpp:109-112, in the exact C++
           repeated-multiplication order) storing wet-L and the Haas window;
@@ -52,8 +53,14 @@ Back kernel:
 All per-sample bodies are the proven in-kernel forms from
 kernels/stage_kernels.py (texture/motion) or direct transcriptions of the
 models' per-sample bodies (punch/saturator/width/cohere) in the exact
-float32 op order of the C++. Score formulas run outside in XLA via
-finalize_lane.
+float32 op order of the C++. Lane state crosses blocks in fin-tile form
+(each pre lane inits from the previous block's post-lane rows), so a
+streamed corpus runs kernel-only inside the scan; ALL score formulas run
+afterwards in one nb-parallel pass (_finalize_stream), with the
+repetition/fatigue EMA pair — the only cross-block analyzer recurrence —
+as an O(log) associative prefix scan. The single-block step
+(chain_kernel_step, the serving tick) finalizes per block via
+_finalize_block.
 
 Fidelity vs the XLA fused executor: bit-clean on CPU (front kernel
 bit-exact; full chain −98…−108 dBFS, non-accumulating). On real TPUs
@@ -581,7 +588,7 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
 
 
 # ---------------------------------------------------------------------------
-# Back kernel: width -> cohere -> infer
+# Back half (same call; x5 stays in VMEM): width -> cohere -> infer
 # ---------------------------------------------------------------------------
 
 def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
