@@ -338,10 +338,13 @@ def main():
     # the multi-stage VMEM chain kernel (kernels/chain_kernel.py) is the
     # production executor for the canonical chain; it keeps scaling past
     # the XLA executor's B=4096 optimum
+    chain_wood = [(n, {"material": 2.0} if n == "texture" else p)
+                  for n, p in CHAIN]
     jobs = [("full_chain_kernelx", CONFIGS["full_chain"], 8192,
              "chain_kernel"),
             ("full_chain_kernel_b4096", CONFIGS["full_chain"], BATCH,
              "chain_kernel"),
+            ("full_chain_kernel_wood", chain_wood, 8192, "chain_kernel"),
             ("full_chain_fusedx", CONFIGS["full_chain"], BATCH,
              "chain_fused")]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
