@@ -900,15 +900,10 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
 _TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4}
 
 
-def _front_setup(chain, states0, mode: int):
-    """Stream-constant inputs + dims shared by the front and mono
-    machineries: (pvec, lcg_a, lcg_b, dims dict)."""
-    msub = sk.MSUB
-    c, n, sr = chain.channels, chain.block_size, chain.sr
-    csub = c * msub
-    nmat = _TEX_NMAT[mode]
-    params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
-
+def _front_pvec(params, states0, sr, mode: int):
+    """The front kernel's stream-constant parameter row from FULL param
+    dicts — a pure jnp function of the param leaves, so per-block
+    automation can vmap it over stacked curves."""
     fast_c, slow_c = _punch.env_coeffs(sr)
     satk = _sat.sat_consts(params[1], sr)
     mo_kc = _motion.p2_consts(params[3], sr)
@@ -922,7 +917,18 @@ def _front_setup(chain, states0, mode: int):
           *[mo_kc[k] for k in _MOTION_KC_KEYS],
           tau_coeff(0.015, sr),
           *sk.tex_param_list(params[2], states0[2]["dsp"], sr, mode)]
-    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])
+
+
+def _front_setup(chain, states0, mode: int):
+    """Stream-constant inputs + dims shared by the front and mono
+    machineries: (pvec, lcg_a, lcg_b, dims dict)."""
+    msub = sk.MSUB
+    c, n, sr = chain.channels, chain.block_size, chain.sr
+    csub = c * msub
+    nmat = _TEX_NMAT[mode]
+    params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
+    pvec = _front_pvec(params, states0, sr, mode)[None]
 
     from juicy_tpu.ops.noise import _jump_coefficients
     a_np, b_np = _jump_coefficients(c * n)
@@ -939,21 +945,10 @@ def _front_setup(chain, states0, mode: int):
     return pvec, lcg_a, lcg_b, dims
 
 
-def _back_setup(chain, states0):
-    """Stream-constant back-kernel inputs: (pvec, D)."""
-    msub = sk.MSUB
-    n, sr = chain.block_size, chain.sr
-    w_params = chain.plugins[4].full_params(chain.params[4])
-    co_params = chain.plugins[5].full_params(chain.params[5])
-    in_params = chain.plugins[6].full_params(chain.params[6])
-    D = states0[4]["dsp"]["haas_window"].shape[-1]
-    if (D * msub) % 8:
-        raise ChainKernelUnsupported(
-            f"haas window size {D} breaks row alignment (D*MSUB % 8 != 0)")
-    if D < n:
-        raise ChainKernelUnsupported(
-            f"haas window {D} shorter than block {n}")
-
+def _back_pvec(params, sr, n):
+    """The back kernel's stream-constant parameter row from FULL param
+    dicts (pure jnp function — vmappable for per-block automation)."""
+    w_params, co_params, in_params = params[4], params[5], params[6]
     # delaySamples = int(sr * (haasMs · 0.001f)) — float32 product,
     # truncated toward zero (cpp:92), matching models/width.py
     delay = (jnp.float32(sr) * (jnp.asarray(w_params["haasMs"], jnp.float32)
@@ -973,7 +968,22 @@ def _back_setup(chain, states0):
           db_to_gain(co_params["output"]),
           db_to_gain(in_params["trim"]),
           jnp.float32(1.0 / max(1, n))]
-    pvec = jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])[None]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in pv])
+
+
+def _back_setup(chain, states0):
+    """Stream-constant back-kernel inputs: (pvec, D)."""
+    msub = sk.MSUB
+    n, sr = chain.block_size, chain.sr
+    params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
+    D = states0[4]["dsp"]["haas_window"].shape[-1]
+    if (D * msub) % 8:
+        raise ChainKernelUnsupported(
+            f"haas window size {D} breaks row alignment (D*MSUB % 8 != 0)")
+    if D < n:
+        raise ChainKernelUnsupported(
+            f"haas window {D} shorter than block {n}")
+    pvec = _back_pvec(params, sr, n)[None]
     return pvec, D
 
 
@@ -1192,11 +1202,13 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         interpret=interpret,
     )
 
-    def call(x_tile, ftiles, btiles, pffin, pbfin):
+    def call(x_tile, ftiles, btiles, pffin, pbfin, fpv=None, bpv=None):
         (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
          ffin, facc, newhist, newwin, cmono_f, ctail_f, bfin,
          bacc) = pcall()(
-            fpvec, lcg_a, lcg_b, ftiles["twidx"], bpvec, x_tile,
+            fpvec if fpv is None else fpv[None],
+            lcg_a, lcg_b, ftiles["twidx"],
+            bpvec if bpv is None else bpv[None], x_tile,
             ftiles["pdsp"], ftiles["sdsp"], ftiles["tdsp"], ftiles["tmat"],
             ftiles["trng"], ftiles["mmono"], ftiles["mchan"],
             ftiles["mrng"], pffin, ftiles["thist"], btiles["win"],
@@ -1270,7 +1282,7 @@ def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
 
 
 def _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s, cms,
-                     bsz, n, sr):
+                     bsz, n, sr, params_list=None):
     """Vectorized lane finalize over a whole stream's stacked fin/acc
     tiles ([nb, G, rows, 128]): the EMA-independent score formulas run
     ONCE over all 14 lane instances x nb blocks in tile layout (the
@@ -1373,8 +1385,14 @@ def _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s, cms,
         post_m["fatigue_risk"] = to_b(risk[1::2, :, i])
         finalize = plug.defn.finalize_metrics or _default_finalize
         carry = {"context_fit": cf_s} if i == 5 else None
-        metrics_list.append(finalize(plug.full_params(chain.params[i]),
-                                     pre_m, post_m, carry))
+        if params_list is None:
+            fparams = plug.full_params(chain.params[i])
+        else:
+            # automated leaves are [nb]; lift to [nb, 1] so the finalize
+            # formulas broadcast against the [nb, B] metric leaves
+            fparams = {k: (v[:, None] if jnp.ndim(v) == 1 else v)
+                       for k, v in params_list[i].items()}
+        metrics_list.append(finalize(fparams, pre_m, post_m, carry))
         last = fin_v[-1, :, post_idx[i]]         # [G, 5, m, 128]
         new_an.append({
             "short_env": last[:, 0].reshape(bsz),
@@ -1435,10 +1453,18 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
 
 
 def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
-                        unroll: int = 16, interpret: bool = False):
+                        unroll: int = 16, interpret: bool = False,
+                        automation=None):
     """Stream a [B, C, T] corpus through the kernel chain block-major,
     entirely in kernel-tile layout (states and audio repack exactly once).
-    Same contract as runtime.chain_fused.fused_chain_stream."""
+    Same contract as runtime.chain_fused.fused_chain_stream.
+
+    `automation`: optional {stage index: {param: curve}} with one value
+    per block ([nb] arrays) — the host-automation analog (the reference's
+    APVTS writes land between processBlocks). Every parameter rides the
+    kernels' per-block parameter row, so automation runs at full kernel
+    speed; only texture's `material` is structural (it selects the
+    compiled code path) and raises ChainKernelUnsupported."""
     mode = _check_chain(chain)
     clips = jnp.asarray(clips, jnp.float32)
     if clips.ndim != 3:
@@ -1473,24 +1499,56 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     ffin0, bfin0 = _lane_seed_tiles(an0, bsz)
     carry0 = (fpack(states), bpack(states), ffin0, bfin0)
 
+    pvec_rows = None
+    if automation:
+        if 2 in automation and "material" in automation[2]:
+            raise ChainKernelUnsupported(
+                "texture material is structural (selects the compiled "
+                "code path) and cannot be automated on the kernel path")
+        full = [dict(p.full_params(pr))
+                for p, pr in zip(chain.plugins, chain.params)]
+        for i, curves in automation.items():
+            for k, v in curves.items():
+                if k not in full[int(i)]:
+                    raise KeyError(
+                        f"stage {i} has no parameter {k!r} to automate")
+                v = jnp.asarray(v, jnp.float32)
+                if v.shape != (nb,):
+                    raise ValueError(
+                        f"automation curve for stage {i}:{k} must have "
+                        f"one value per block, shape ({nb},), got "
+                        f"{v.shape}")
+                full[int(i)][k] = v
+        full_b = [{k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (nb,))
+                   for k, v in st.items()} for st in full]
+        pvec_rows = (
+            jax.vmap(lambda pr: _front_pvec(pr, states, sr, mode))(full_b),
+            jax.vmap(lambda pr: _back_pvec(pr, sr, n))(full_b))
+
     # The audio scan is kernel-only: lane state threads block-to-block
     # through the fin tiles themselves, raw fin/acc stack per block, and
     # ALL score formulas run afterwards in one nb-parallel pass
     # (_finalize_stream) — no per-block XLA work in the hot loop.
-    def body(carry, x_t):
+    def body(carry, xs):
         ftiles, btiles, pffin, pbfin = carry
+        if pvec_rows is None:
+            x_t, fpv, bpv = xs, None, None
+        else:
+            x_t, fpv, bpv = xs
         (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
-         bacc) = mcall(x_t, ftiles, btiles, pffin, pbfin)
+         bacc) = mcall(x_t, ftiles, btiles, pffin, pbfin, fpv, bpv)
         return ((ftiles, btiles, ffin, bfin),
                 (out_t, ffin, facc, bfin, bacc, cmono_full))
 
+    xs = x_tiles if pvec_rows is None else (x_tiles, *pvec_rows)
     carry, (out_tiles, ffin_s, facc_s, bfin_s, bacc_s, cms) = jax.lax.scan(
-        body, carry0, x_tiles)
+        body, carry0, xs)
     ftiles, btiles, _ffin_l, _bfin_l = carry
     cmono_full = jax.tree.map(lambda v: v[-1], cms)
 
     an_f, ms = _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s,
-                                cms, bsz, n, sr)
+                                cms, bsz, n, sr,
+                                params_list=(full if automation else None))
     if metrics == "final":
         ms = jax.tree.map(lambda v: v[-1], ms)
     elif metrics == "none":

@@ -1,7 +1,7 @@
 """Multi-stage VMEM chain kernel vs the XLA fused executor (interpret mode).
 
 The chain kernel (kernels/chain_kernel.py) runs the whole 7-plugin suite as
-two pallas_calls per block; these tests pin it against
+ONE pallas_call per block; these tests pin it against
 runtime.chain_fused.fused_chain_step/stream — which is itself null-tested
 against the compiled C++ oracle (test_chain_fused.py, test_cpp_null.py) —
 on small shapes via the Pallas interpreter.
@@ -223,3 +223,48 @@ def test_chain_kernel_vs_cpp_oracle(rng):
         ref = p.run(ref)
     db = residual_dbfs(np.asarray(out_k[0]), ref)
     assert db <= -80.0, f"kernel chain vs C++ oracle: {db:.1f} dBFS"
+
+
+def test_chain_kernel_automation_matches_fused(rng):
+    """Per-block parameter automation on the kernel path (every param
+    rides the per-block pvec row) must match the fused executor driven
+    block-by-block with the same parameter values — the host-automation
+    analog (APVTS writes land between processBlocks)."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n, nb = 128, 128, 4
+    chain = _mk(CHAIN, n)
+    curves = {
+        0: {"mix": np.linspace(1.0, 0.4, nb).astype(np.float32)},
+        1: {"drive": np.linspace(2.0, 14.0, nb).astype(np.float32)},
+        4: {"width": np.linspace(0.2, 0.9, nb).astype(np.float32)},
+        6: {"sensitivity": np.linspace(0.8, 1.4, nb).astype(np.float32)},
+    }
+    clips = jnp.asarray(_clips(rng, b, n * nb))
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    out_k, _st_k, m_k = ck.chain_kernel_stream(
+        chain, states, clips, unroll=4, interpret=True, automation=curves)
+
+    states_f = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    outs, scores = [], []
+    for k in range(nb):
+        params = [dict(p) for p in chain.params]
+        for i, cs in curves.items():
+            for key, curve in cs.items():
+                params[i][key] = curve[k]
+        blk = clips[:, :, k * n:(k + 1) * n]
+        o, states_f, m = fused_chain_step(chain, states_f, blk, unroll=1,
+                                          params=params)
+        outs.append(np.asarray(o))
+        scores.append(np.asarray(m[-1]["score"]))
+    out_f = np.concatenate(outs, axis=-1)
+    assert residual_dbfs(np.asarray(out_k), out_f) <= -90.0
+    # infer's automated sensitivity scales the score per block
+    np.testing.assert_allclose(np.asarray(m_k[-1]["score"]),
+                               np.stack(scores), atol=2e-3)
+    # the curves really changed the render across blocks
+    assert residual_dbfs(out_f[..., :n], out_f[..., -n:]) > -40.0
+
+    with pytest.raises(ck.ChainKernelUnsupported):
+        ck.chain_kernel_stream(chain, states, clips, interpret=True,
+                               automation={2: {"material": np.ones(nb)}})
