@@ -216,7 +216,7 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
 
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                      metrics: str = "final", use_kernel: str = "auto",
-                     _interpret: bool = False):
+                     automation=None, _interpret: bool = False):
     """Full-chain corpus scoring with mesh batch sharding.
 
     Executor selection (`use_kernel`): "auto" runs the multi-stage VMEM
@@ -229,6 +229,10 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     embarrassingly clip-parallel; the only collective is the corpus metric
     aggregation below). `_interpret` runs the kernel through the Pallas
     interpreter (CPU tests / the multichip dryrun).
+
+    `automation`: optional {stage: {param: [nb] curve}} applied per block
+    corpus-wide (kernel executor only — the host-automation analog;
+    see chain_kernel_stream).
 
     Returns (out [B, C, T], per-stage final metrics list, corpus aggregates
     of the last stage's metrics).
@@ -252,6 +256,10 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     if use_kernel == "always" and not kernel_ok:
         raise ck.ChainKernelUnsupported(
             "chain/batch layout unsupported by the kernel executor")
+    if automation is not None and not kernel_ok:
+        raise ck.ChainKernelUnsupported(
+            "corpus automation runs on the kernel executor only (needs a "
+            "kernel-supported chain/batch layout)")
 
     if kernel_ok and n_dev > 1:
         # per-shard kernel under shard_map: each device streams its own
@@ -263,7 +271,8 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
             states = jax.vmap(lambda _: chain.init_state())(
                 jnp.arange(cs.shape[0]))
             out, _st, ms = ck.chain_kernel_stream(
-                chain, states, cs, metrics=metrics, interpret=_interpret)
+                chain, states, cs, metrics=metrics, interpret=_interpret,
+                automation=automation)
             return out, ms
 
         ospec = (P("data"),
@@ -276,7 +285,8 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
             def stream(chain, states, cs, metrics):
                 return ck.chain_kernel_stream(chain, states, cs,
                                               metrics=metrics,
-                                              interpret=_interpret)
+                                              interpret=_interpret,
+                                              automation=automation)
         else:
             stream = fused_chain_stream
 

@@ -274,3 +274,40 @@ print("sharded stage-kernel corpus ok")
                        text=True, timeout=900, cwd=root, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "sharded stage-kernel corpus ok" in r.stdout
+
+
+def test_corpus_chain_automation(rng):
+    """run_corpus_chain(automation=) rides the kernel executor's per-block
+    parameter rows; non-kernel layouts refuse (the fused executor has no
+    automation lane)."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.kernels import chain_kernel as ck
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", None), ("saturator", None), ("texture", None),
+                  ("motion", None), ("width", None), ("cohere", None),
+                  ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        nb = 2
+        clips = np.stack([make_clip(rng, 2, 128 * nb)
+                          for _ in range(8)] * 16).astype(np.float32)
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
+        curves = {1: {"drive": np.linspace(3.0, 15.0, nb)}}
+        out_a, ms_a, agg_a = run_corpus_chain(
+            chain, clips, mesh=single, use_kernel="always",
+            automation=curves, _interpret=True)
+        out_0, _, _ = run_corpus_chain(chain, clips, mesh=single,
+                                       use_kernel="always", _interpret=True)
+        # the curve actually changed the render, and scores stay valid
+        assert residual_dbfs(np.asarray(out_a), np.asarray(out_0)) > -40.0
+        assert 0.0 <= float(agg_a["score"]["mean"]) <= 100.0
+
+        with pytest.raises(ck.ChainKernelUnsupported):
+            run_corpus_chain(chain, clips, mesh=single, use_kernel="never",
+                             automation=curves, _interpret=True)
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
