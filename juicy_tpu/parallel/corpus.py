@@ -154,12 +154,18 @@ def _run_corpus_stage_kernel(plugin: Plugin, params, clips, mesh: Mesh,
     if mesh.devices.size > 1:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
-        batched = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
-                                    out_specs=P("data"), check_vma=False))
+        inner = shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
+                          out_specs=P("data"), check_vma=False)
     else:
-        batched = jax.jit(shard_fn)
-    out, last = batched(clips)
-    return out, last, corpus_metrics(last)
+        inner = shard_fn
+
+    # aggregation inside the jit (collectives over the sharded batch)
+    @jax.jit
+    def batched(cs):
+        out, last = inner(cs)
+        return out, last, corpus_metrics(last)
+
+    return batched(clips)
 
 
 def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
@@ -277,9 +283,19 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
 
         ospec = (P("data"),
                  P(None, "data") if metrics == "blocks" else P("data"))
-        batched = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
-                                    out_specs=ospec, check_vma=False))
-        out, ms = batched(clips)
+        sharded = shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
+                            out_specs=ospec, check_vma=False)
+
+        # aggregate INSIDE the jit: the corpus means become XLA
+        # collectives over the sharded batch, and no eager dispatch ever
+        # touches the shard_map outputs
+        @jax.jit
+        def batched(cs):
+            out, ms = sharded(cs)
+            agg = corpus_metrics(ms[-1]) if ms is not None else None
+            return out, ms, agg
+
+        out, ms, agg = batched(clips)
     else:
         if kernel_ok:
             def stream(chain, states, cs, metrics):
@@ -295,8 +311,8 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
             states = jax.vmap(lambda _: chain.init_state())(
                 jnp.arange(cs.shape[0]))
             out, _st, ms = stream(chain, states, cs, metrics=metrics)
-            return out, ms
+            agg = corpus_metrics(ms[-1]) if ms is not None else None
+            return out, ms, agg
 
-        out, ms = batched(clips)
-    agg = corpus_metrics(ms[-1]) if ms is not None else None
+        out, ms, agg = batched(clips)
     return out, ms, agg
