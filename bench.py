@@ -84,6 +84,19 @@ def bench_config(stages, batch, fused=False, iters=3):
                 jnp.arange(cs.shape[0]))
             out, st, _m = chain_kernel_stream(chain, states, cs, unroll=32)
             return jnp.sum(out[..., -1]), out.shape
+    elif fused == "chain_kernel_score":
+        # scoring-only corpus mode (return_audio=False): the render is
+        # never stacked/transposed back — metrics are the only output
+        from juicy_tpu.kernels.chain_kernel import chain_kernel_stream
+
+        @jax.jit
+        def run_batch(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            _out, st, ms = chain_kernel_stream(chain, states, cs, unroll=32,
+                                               metrics="final",
+                                               return_audio=False)
+            return jnp.sum(ms[-1]["score"]), ()
     elif fused == "chain_fused":
         from juicy_tpu.runtime.chain_fused import fused_chain_stream
 
@@ -345,6 +358,8 @@ def main():
             ("full_chain_kernel_b4096", CONFIGS["full_chain"], BATCH,
              "chain_kernel"),
             ("full_chain_kernel_wood", chain_wood, 8192, "chain_kernel"),
+            ("full_chain_kernel_score_only", CONFIGS["full_chain"], 8192,
+             "chain_kernel_score"),
             ("full_chain_fusedx", CONFIGS["full_chain"], BATCH,
              "chain_fused")]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
@@ -409,9 +424,11 @@ def main():
             details["pipelined_latency"] = {"error": repr(e)}
         save()
 
+    # the headline renders audio (score_only drops the output — a different
+    # workload, reported in details but never as the headline)
     candidates = [v for k, v in details.items()
-                  if k.startswith("full_chain") and isinstance(v, dict)
-                  and "audio_sec_per_sec" in v]
+                  if k.startswith("full_chain") and "score_only" not in k
+                  and isinstance(v, dict) and "audio_sec_per_sec" in v]
     value = max((float(v["audio_sec_per_sec"]) for v in candidates),
                 default=0.0)
     print(json.dumps({

@@ -335,6 +335,35 @@ def cmd_corpus(args):
         corpus[i, :, :c.shape[-1]] = c
 
     chain = Chain(stages, sr=sr, channels=channels, block_size=args.block)
+    score_only = bool(getattr(args, "score_only", False))
+
+    mats = None
+    if getattr(args, "materials", None):
+        from juicy_tpu.models.texture import PARAMS as _TEX_PARAMS
+        names = [c.lower() for c in _TEX_PARAMS[0].choices]
+
+        def mat_index(tok):
+            tok = tok.strip()
+            try:
+                return int(float(tok))
+            except ValueError:
+                low = tok.lower()
+                for i, nm in enumerate(names):
+                    if nm.startswith(low):
+                        return i
+                raise SystemExit(f"unknown material {tok!r}; "
+                                 f"choices: {_TEX_PARAMS[0].choices}")
+        toks = args.materials.split(",")
+        if len(toks) == 1:
+            toks = toks * len(clips)
+        if len(toks) != len(clips):
+            raise SystemExit(f"--materials needs 1 or {len(clips)} values, "
+                             f"got {len(toks)}")
+        mats = np.array([mat_index(t) for t in toks])
+        if not any(s[0] == "texture" or getattr(s[0], "name", "") == "texture"
+                   for s in stages):
+            raise SystemExit("--materials needs a texture stage in --stages")
+
     done = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         with open(args.checkpoint) as f:
@@ -357,13 +386,24 @@ def cmd_corpus(args):
             chunk = np.concatenate(
                 [chunk, np.zeros((macro - chunk.shape[0],) + chunk.shape[1:],
                                  np.float32)])
+        chunk_mats = None
+        if mats is not None:
+            chunk_mats = mats[done:end]
+            if chunk_mats.shape[0] < macro:
+                chunk_mats = np.concatenate(
+                    [chunk_mats, np.full((macro - chunk_mats.shape[0],),
+                                         chunk_mats[0] if len(chunk_mats)
+                                         else 0)])
         out, ms, agg = run_corpus_chain(chain, jnp.asarray(chunk),
-                                        metrics="final")
-        out = np.asarray(out)
-        for i in range(done, end):
-            dest = os.path.join(
-                args.out_dir, os.path.basename(args.inputs[i]))
-            write_wav(dest, out[i - done][..., :lengths[i]], sr)
+                                        metrics="final",
+                                        materials=chunk_mats,
+                                        return_audio=not score_only)
+        if not score_only:
+            out = np.asarray(out)
+            for i in range(done, end):
+                dest = os.path.join(
+                    args.out_dir, os.path.basename(args.inputs[i]))
+                write_wav(dest, out[i - done][..., :lengths[i]], sr)
         final = np.asarray(ms[-1]["score"])
         scores.extend(float(v) for v in final[:end - done])
         done = end
@@ -490,6 +530,14 @@ def main(argv=None):
                                         "batch after an interruption")
     p.add_argument("--batch", type=int, default=64,
                    help="clips per device batch")
+    p.add_argument("--score-only", action="store_true",
+                   help="metrics only: the processed audio is never "
+                        "written back (fastest scoring mode)")
+    p.add_argument("--materials",
+                   help="per-clip texture material (comma-separated names "
+                        "or indices, one per input or a single value): the "
+                        "corpus is grouped by material and each group runs "
+                        "fully vectorized on its own compiled path")
 
     p = sub.add_parser("serve", help="batched multi-stream serving demo")
     p.add_argument("inputs", nargs="+")

@@ -1454,7 +1454,7 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
 
 def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
                         unroll: int = 16, interpret: bool = False,
-                        automation=None):
+                        automation=None, return_audio: bool = True):
     """Stream a [B, C, T] corpus through the kernel chain block-major,
     entirely in kernel-tile layout (states and audio repack exactly once).
     Same contract as runtime.chain_fused.fused_chain_stream.
@@ -1464,7 +1464,14 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     APVTS writes land between processBlocks). Every parameter rides the
     kernels' per-block parameter row, so automation runs at full kernel
     speed; only texture's `material` is structural (it selects the
-    compiled code path) and raises ChainKernelUnsupported."""
+    compiled code path) and raises ChainKernelUnsupported.
+
+    `return_audio=False` is the scoring-only mode (the JuicyInfer batch
+    use case — score a corpus, keep the meters, drop the render): the
+    per-block output tiles are not stacked across the scan and the
+    corpus-sized inverse layout transpose is skipped entirely, so the
+    only full-corpus HBM traffic is the input read. Returns None for
+    `out`."""
     mode = _check_chain(chain)
     clips = jnp.asarray(clips, jnp.float32)
     if clips.ndim != 3:
@@ -1537,12 +1544,16 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
             x_t, fpv, bpv = xs
         (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
          bacc) = mcall(x_t, ftiles, btiles, pffin, pbfin, fpv, bpv)
+        ys = (ffin, facc, bfin, bacc, cmono_full)
         return ((ftiles, btiles, ffin, bfin),
-                (out_t, ffin, facc, bfin, bacc, cmono_full))
+                (out_t,) + ys if return_audio else ys)
 
     xs = x_tiles if pvec_rows is None else (x_tiles, *pvec_rows)
-    carry, (out_tiles, ffin_s, facc_s, bfin_s, bacc_s, cms) = jax.lax.scan(
-        body, carry0, xs)
+    carry, ys = jax.lax.scan(body, carry0, xs)
+    if return_audio:
+        out_tiles, ffin_s, facc_s, bfin_s, bacc_s, cms = ys
+    else:
+        ffin_s, facc_s, bfin_s, bacc_s, cms = ys
     ftiles, btiles, _ffin_l, _bfin_l = carry
     cmono_full = jax.tree.map(lambda v: v[-1], cms)
 
@@ -1562,6 +1573,8 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     new_states = [{"analyzer": a, "dsp": d}
                   for a, d in zip(an_f, dsp_list)]
 
+    if not return_audio:
+        return None, new_states, ms
     # ONE layout pass back, the inverse single transpose
     out = out_tiles.reshape(nb, grid, n, c, msub, lanes_n).transpose(
         1, 4, 5, 3, 0, 2).reshape(bsz, c, t)

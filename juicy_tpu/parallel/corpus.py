@@ -222,7 +222,8 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
 
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                      metrics: str = "final", use_kernel: str = "auto",
-                     automation=None, _interpret: bool = False):
+                     automation=None, materials=None,
+                     return_audio: bool = True, _interpret: bool = False):
     """Full-chain corpus scoring with mesh batch sharding.
 
     Executor selection (`use_kernel`): "auto" runs the multi-stage VMEM
@@ -240,12 +241,29 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     corpus-wide (kernel executor only — the host-automation analog;
     see chain_kernel_stream).
 
-    Returns (out [B, C, T], per-stage final metrics list, corpus aggregates
-    of the last stage's metrics).
+    `materials`: optional per-clip texture material indices [B] (each DAW
+    track picks its own material, JuicyTexture/PluginProcessor.cpp:325-337).
+    The corpus is grouped by material and each group runs fully vectorized
+    on its own compiled path — kernel-speed mixed-material corpora (groups
+    are padded up to the kernel's clip tile; the traced-material fused
+    executor remains the ungrouped alternative via a with_traced chain).
+
+    `return_audio=False` (scoring-only mode, the JuicyInfer batch use
+    case): the processed audio is never stacked or written back to HBM;
+    `out` is None.
+
+    Returns (out [B, C, T] or None, per-stage final metrics list, corpus
+    aggregates of the last stage's metrics).
     """
     from juicy_tpu.kernels import chain_kernel as ck
     from juicy_tpu.kernels import stage_kernels as sk
     from juicy_tpu.runtime.chain_fused import fused_chain_stream
+
+    if materials is not None:
+        return _run_corpus_chain_grouped(
+            chain, clips, materials, mesh=mesh, metrics=metrics,
+            use_kernel=use_kernel, automation=automation,
+            return_audio=return_audio, _interpret=_interpret)
 
     if mesh is None:
         mesh = make_mesh()
@@ -278,11 +296,11 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                 jnp.arange(cs.shape[0]))
             out, _st, ms = ck.chain_kernel_stream(
                 chain, states, cs, metrics=metrics, interpret=_interpret,
-                automation=automation)
-            return out, ms
+                automation=automation, return_audio=return_audio)
+            return (out, ms) if return_audio else ms
 
-        ospec = (P("data"),
-                 P(None, "data") if metrics == "blocks" else P("data"))
+        mspec = P(None, "data") if metrics == "blocks" else P("data")
+        ospec = (P("data"), mspec) if return_audio else mspec
         sharded = shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
                             out_specs=ospec, check_vma=False)
 
@@ -291,20 +309,25 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
         # touches the shard_map outputs
         @jax.jit
         def batched(cs):
-            out, ms = sharded(cs)
+            res = sharded(cs)
+            out, ms = res if return_audio else (None, res)
             agg = corpus_metrics(ms[-1]) if ms is not None else None
-            return out, ms, agg
+            return (out, ms, agg) if return_audio else (ms, agg)
 
-        out, ms, agg = batched(clips)
+        res = batched(clips)
+        out, ms, agg = res if return_audio else (None, *res)
     else:
         if kernel_ok:
             def stream(chain, states, cs, metrics):
                 return ck.chain_kernel_stream(chain, states, cs,
                                               metrics=metrics,
                                               interpret=_interpret,
-                                              automation=automation)
+                                              automation=automation,
+                                              return_audio=return_audio)
         else:
-            stream = fused_chain_stream
+            def stream(chain, states, cs, metrics):
+                return fused_chain_stream(chain, states, cs, metrics=metrics,
+                                          return_audio=return_audio)
 
         @jax.jit
         def batched(cs):
@@ -312,7 +335,106 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                 jnp.arange(cs.shape[0]))
             out, _st, ms = stream(chain, states, cs, metrics=metrics)
             agg = corpus_metrics(ms[-1]) if ms is not None else None
-            return out, ms, agg
+            return (out, ms, agg) if return_audio else (ms, agg)
 
-        out, ms, agg = batched(clips)
+        res = batched(clips)
+        out, ms, agg = res if return_audio else (None, *res)
+    return out, ms, agg
+
+
+def _chain_with_material(chain, material: int):
+    """A shallow Chain copy whose texture stage is pinned to a STATIC
+    material (its own compiled code path, models/texture.py)."""
+    new = object.__new__(type(chain))
+    new.__dict__.update({k: v for k, v in chain.__dict__.items()
+                         if k != "jit_step"})
+    new.plugins = list(chain.plugins)
+    new.params = list(chain.params)
+    for i, plug in enumerate(new.plugins):
+        if plug.defn.name == "texture":
+            new.plugins[i] = Plugin(plug.defn, plug.sr, plug.channels,
+                                    plug.block_size,
+                                    static=dict(plug._static,
+                                                material=int(material)))
+            # a traced-material chain keeps `material` in the params row;
+            # the static path must not see it twice
+            new.params[i] = {k: v for k, v in new.params[i].items()
+                             if k != "material"}
+            return new
+    raise ValueError("chain has no texture stage to group by material")
+
+
+def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
+                              use_kernel, automation, return_audio,
+                              _interpret):
+    """Mixed-material corpus: one fully-vectorized sub-run per material
+    (the heterogeneous-config batching of parallel/grouping.py, lifted to
+    the chain executors), scattered back into corpus order.
+
+    Each group is zero-padded up to the kernel layout's granularity
+    (n_devices x clip tile) so the chain kernel stays eligible; padding is
+    sliced off before the scatter and never reaches the aggregates.
+    """
+    import numpy as np
+    from juicy_tpu.kernels import chain_kernel as ck
+    from juicy_tpu.kernels import stage_kernels as sk
+
+    clips = jnp.asarray(clips, jnp.float32)
+    values = np.asarray(jax.device_get(materials)).astype(np.int64).ravel()
+    if values.shape[0] != clips.shape[0]:
+        raise ValueError(
+            f"materials must have one entry per clip: {values.shape[0]} "
+            f"vs batch {clips.shape[0]}")
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = max(1, mesh.devices.size)
+    platform_ok = jax.devices()[0].platform == "tpu" or _interpret
+    kernel_possible = (use_kernel != "never" and platform_ok
+                       and ck.supports_chain_kernel(
+                           _chain_with_material(chain, int(values[0]))))
+    granule = n_dev * sk.TILE if kernel_possible else n_dev
+
+    out = np.zeros(clips.shape, np.float32) if return_audio else None
+    ms_groups = []       # (corpus indices, per-stage metrics) per group
+    for v in np.unique(values):
+        idx = np.nonzero(values == v)[0]
+        sub = jnp.take(clips, jnp.asarray(idx), axis=0)
+        pad = (-len(idx)) % granule
+        if pad:
+            sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
+        gchain = _chain_with_material(chain, int(v))
+        g_out, g_ms, _agg = run_corpus_chain(
+            gchain, sub, mesh=mesh, metrics=metrics, use_kernel=use_kernel,
+            automation=automation, return_audio=return_audio,
+            _interpret=_interpret)
+        if return_audio:
+            out[idx] = np.asarray(jax.device_get(g_out))[:len(idx)]
+        if g_ms is not None:
+            baxis = 1 if metrics == "blocks" else 0
+            g_ms = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)).take(
+                    range(len(idx)), axis=baxis), g_ms)
+            ms_groups.append((idx, g_ms))
+
+    ms = None
+    if ms_groups:
+        baxis = 1 if metrics == "blocks" else 0
+        template = ms_groups[0][1]
+
+        def scatter(*leaves):
+            shape = list(leaves[0].shape)
+            shape[baxis] = clips.shape[0]
+            full = np.zeros(shape, leaves[0].dtype)
+            for (idx, _), leaf in zip(ms_groups, leaves):
+                if baxis == 0:
+                    full[idx] = leaf
+                else:
+                    full[:, idx] = leaf
+            return jnp.asarray(full)
+
+        ms = jax.tree.map(scatter, template,
+                          *[g for _, g in ms_groups[1:]])
+    agg = corpus_metrics(ms[-1]) if ms is not None else None
+    if return_audio:
+        out = jnp.asarray(out)
     return out, ms, agg

@@ -545,7 +545,8 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
 
 
 def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
-                       unroll: Optional[int] = 4, params: Sequence = None):
+                       unroll: Optional[int] = 4, params: Sequence = None,
+                       return_audio: bool = True):
     """Stream a [..., C, T] corpus through the fused chain block-major.
 
     One outer scan over blocks; all stage states ride the carry, so the
@@ -553,6 +554,10 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
     Chain.batched_run). Returns (out, states, metrics_list) shaped like
     Chain.batched_run (metrics leaves [nb, ...], or final-block only for
     metrics="final", or None for "none").
+
+    `return_audio=False` (scoring-only mode): per-block outputs are not
+    stacked across the scan, so the processed corpus is never written
+    back to HBM — `out` is returned as None.
     """
     clips = jnp.asarray(clips, jnp.float32)
     t = clips.shape[-1]
@@ -566,8 +571,9 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
         def scan_step(sts, blk):
             out, sts, m = fused_chain_step(chain, sts, blk, metrics=metrics,
                                            unroll=unroll, params=params)
-            return sts, (out, m)
-        states, (outs, ms) = jax.lax.scan(scan_step, states, blocks)
+            return sts, ((out, m) if return_audio else m)
+        states, ys = jax.lax.scan(scan_step, states, blocks)
+        outs, ms = ys if return_audio else (None, ys)
     elif metrics == "final":
         # Analyzer state advances every block exactly as in "blocks" mode;
         # only the last block's metrics survive (threaded through the carry,
@@ -580,17 +586,22 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
             sts, _ = carry
             out, sts, m = fused_chain_step(chain, sts, blk, metrics="blocks",
                                            unroll=unroll, params=params)
-            return (sts, m), out
+            return (sts, m), (out if return_audio else ())
         (states, ms), outs_rest = jax.lax.scan(scan_step, (states, m0),
                                                blocks[1:])
-        outs = jnp.concatenate([out0[None], outs_rest], axis=0)
+        outs = (jnp.concatenate([out0[None], outs_rest], axis=0)
+                if return_audio else None)
     else:   # "none"
         def scan_step(sts, blk):
             out, sts, _ = fused_chain_step(chain, sts, blk, metrics="none",
                                            unroll=unroll, params=params)
-            return sts, out
+            return sts, (out if return_audio else ())
         states, outs = jax.lax.scan(scan_step, states, blocks)
+        if not return_audio:
+            outs = None
         ms = None
+    if not return_audio:
+        return None, states, ms
     out = jnp.moveaxis(outs, 0, -2)          # [..., C, nb, n]
     out = out.reshape(clips.shape)
     return out, states, ms

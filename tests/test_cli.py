@@ -113,3 +113,21 @@ def test_cli_list(capsys):
                  "cohere", "infer"):
         assert name in out
     assert "Crater Impact" in out and "read-only" in out
+
+
+def test_cli_corpus_score_only_and_materials(tmp_path, rng, capsys):
+    """--score-only skips the renders; --materials routes each clip through
+    its own texture material (grouped corpus)."""
+    srcs = []
+    for i in range(2):
+        p = os.path.join(tmp_path, f"m{i}.wav")
+        write_wav(p, make_clip(rng, 2, 512) * 0.4, 48000)
+        srcs.append(p)
+    out_dir = os.path.join(tmp_path, "out_so")
+    main(["corpus", *srcs, "--stages", "punch,texture,infer",
+          "--block", "256", "--out-dir", out_dir, "--batch", "2",
+          "--score-only", "--materials", "gel,metal"])
+    captured = capsys.readouterr().out
+    assert "mean juiciness" in captured
+    # score-only: no renders written
+    assert not os.path.exists(os.path.join(out_dir, "m0.wav"))

@@ -311,3 +311,119 @@ def test_corpus_chain_automation(rng):
                              automation=curves, _interpret=True)
     finally:
         sk.TILE, sk.MSUB = tile, msub
+
+
+def test_corpus_chain_score_only(rng):
+    """return_audio=False (the scoring-only corpus mode, the JuicyInfer
+    batch use case): metrics identical to the audio-returning run, out is
+    None — the render is never stacked or transposed back."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", None), ("saturator", None), ("texture", None),
+                  ("motion", None), ("width", None), ("cohere", None),
+                  ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        clips = np.stack([make_clip(rng, 2, 128 * 2)
+                          for _ in range(8)] * 16).astype(np.float32)
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
+        for use_kernel in ("always", "never"):
+            out_a, ms_a, agg_a = run_corpus_chain(
+                chain, clips, mesh=single, metrics="final",
+                use_kernel=use_kernel, _interpret=True)
+            out_n, ms_n, agg_n = run_corpus_chain(
+                chain, clips, mesh=single, metrics="final",
+                use_kernel=use_kernel, return_audio=False, _interpret=True)
+            assert out_n is None
+            assert out_a is not None
+            np.testing.assert_array_equal(np.asarray(ms_n[-1]["score"]),
+                                          np.asarray(ms_a[-1]["score"]))
+            np.testing.assert_array_equal(np.asarray(agg_n["score"]["mean"]),
+                                          np.asarray(agg_a["score"]["mean"]))
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
+
+
+def test_corpus_chain_grouped_materials(rng):
+    """materials=[B] groups a mixed-material corpus by texture material and
+    runs each group fully vectorized on its own compiled (kernel) path —
+    per-clip output and score must match the per-material static runs,
+    including groups padded up to the clip tile."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", None), ("saturator", None), ("texture", None),
+                  ("motion", None), ("width", None), ("cohere", None),
+                  ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        b = 192                       # groups of 96 -> each pads to one tile
+        mats = np.array([0, 1] * (b // 2))
+        clips = np.stack([make_clip(rng, 2, 128 * 2)
+                          for _ in range(8)] * (b // 8)).astype(np.float32)
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
+        out_g, ms_g, agg_g = run_corpus_chain(
+            chain, clips, mesh=single, metrics="final", materials=mats,
+            _interpret=True)
+        assert 0.0 <= float(agg_g["score"]["mean"]) <= 100.0
+
+        # oracle: one static-material kernel run per group (pad to the tile
+        # exactly like the grouped path so kernel tile contexts match)
+        for m in (0, 1):
+            idx = np.nonzero(mats == m)[0]
+            sub = np.concatenate(
+                [clips[idx], np.zeros((128 - len(idx) % 128,) +
+                                      clips.shape[1:], np.float32)])
+            ch_m = Chain([("punch", None), ("saturator", None),
+                          ("texture", {"material": float(m)}),
+                          ("motion", None), ("width", None),
+                          ("cohere", None), ("infer", None)],
+                         sr=48000.0, channels=2, block_size=128)
+            out_m, ms_m, _ = run_corpus_chain(
+                ch_m, sub, mesh=single, metrics="final",
+                use_kernel="always", _interpret=True)
+            db = residual_dbfs(np.asarray(out_g)[idx],
+                               np.asarray(out_m)[:len(idx)])
+            assert db <= -100.0, f"material {m} grouped run diverges: {db}"
+            np.testing.assert_allclose(
+                np.asarray(ms_g[-1]["score"])[idx],
+                np.asarray(ms_m[-1]["score"])[:len(idx)], atol=1e-4)
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
+
+
+def test_corpus_chain_grouped_materials_fused(rng):
+    """Grouped materials on the fused-executor fallback (use_kernel="never"):
+    matches per-clip static-material chains; padding granule stays 1."""
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    stages = [("punch", "Solar Snap"), ("texture", None), ("infer", None)]
+    chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+    mats = np.array([0, 4, 1, 0])
+    clips = np.stack([make_clip(rng, 2, 128 * 2)
+                      for _ in range(4)]).astype(np.float32)
+    single = Mesh(np.array(jax.devices()[:1]), ("data",))
+    out_g, ms_g, agg_g = run_corpus_chain(
+        chain, clips, mesh=single, metrics="final", materials=mats,
+        use_kernel="never")
+    for i, m in enumerate(mats):
+        ch_m = Chain([("punch", "Solar Snap"),
+                      ("texture", {"material": float(m)}),
+                      ("infer", None)], sr=48000.0, channels=2,
+                     block_size=128)
+        out_m, ms_m, _ = run_corpus_chain(
+            ch_m, clips[i:i + 1], mesh=single, metrics="final",
+            use_kernel="never")
+        db = residual_dbfs(np.asarray(out_g)[i], np.asarray(out_m)[0])
+        assert db <= -100.0, f"clip {i} (material {m}) diverges: {db}"
+        np.testing.assert_allclose(np.asarray(ms_g[-1]["score"])[i],
+                                   np.asarray(ms_m[-1]["score"])[0],
+                                   atol=1e-4)
