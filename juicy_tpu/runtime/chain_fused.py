@@ -502,15 +502,13 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
         fuser = _FUSERS.get(plug.defn.name)
         if fuser is None:
             # fallback for custom-registered processors without a fuser:
-            # supports a SINGLE leading batch dimension (the vmap below);
-            # multi-dim batch shapes need a registered fuser (the built-in
-            # seven are all rank-agnostic through their fusers)
+            # rank-agnostic like the fused paths — one vmap per leading
+            # batch dimension (param-sweep axes etc. compose)
             ex.flush()
-            out, new_dsp = jax.vmap(
-                lambda s, b: plug.defn.process(p, s, b, sr),
-                in_axes=(0, 0))(st["dsp"], ex.streams[in_s]) \
-                if batch_shape else plug.defn.process(p, st["dsp"],
-                                                      ex.streams[in_s], sr)
+            proc = lambda s, b: plug.defn.process(p, s, b, sr)
+            for _ in batch_shape:
+                proc = jax.vmap(proc, in_axes=(0, 0))
+            out, new_dsp = proc(st["dsp"], ex.streams[in_s])
             ex.add_stream(out_s, out)
             state_thunks.append(lambda new_dsp=new_dsp: new_dsp)
         else:

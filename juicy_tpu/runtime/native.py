@@ -53,6 +53,11 @@ def load_library(force_rebuild: bool = False) -> Optional[ctypes.CDLL]:
         if not _build():
             return None
     lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "juicy_load_corpus_mt"):
+        # stale binary from before the threaded loader — rebuild once
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
     lib.juicy_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(WavInfo)]
     lib.juicy_wav_info.restype = ctypes.c_int
     lib.juicy_wav_read.argtypes = [ctypes.c_char_p,
@@ -69,6 +74,12 @@ def load_library(force_rebuild: bool = False) -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.c_int64, ctypes.c_int32]
     lib.juicy_load_corpus.restype = ctypes.c_int
+    lib.juicy_load_corpus_mt.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                         ctypes.c_int32,
+                                         ctypes.POINTER(ctypes.c_float),
+                                         ctypes.c_int64, ctypes.c_int32,
+                                         ctypes.c_int32]
+    lib.juicy_load_corpus_mt.restype = ctypes.c_int
     lib.juicy_ring_create.argtypes = [ctypes.c_int64]
     lib.juicy_ring_create.restype = ctypes.c_void_p
     lib.juicy_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -107,21 +118,24 @@ def wav_info(path: str) -> Tuple[int, int, int]:
     return info.channels, info.sample_rate, info.frames
 
 
-def load_corpus(paths: List[str], frames: int, channels: int = 2) -> np.ndarray:
+def load_corpus(paths: List[str], frames: int, channels: int = 2,
+                threads: int = 0) -> np.ndarray:
     """Decode WAV files into a planar float32 arena [B, C, T].
 
     Files shorter than `frames` are zero-padded; longer are truncated; mono
-    is duplicated across channels. Falls back to the Python decoder when the
-    native library is unavailable.
+    is duplicated across channels. Decodes on `threads` host threads
+    (0 = hardware concurrency — files are independent, so decode scales
+    ~linearly with cores). Falls back to the Python decoder when the native
+    library is unavailable.
     """
     lib = load_library()
     arena = np.zeros((len(paths), channels, frames), np.float32)
     if lib is not None:
         c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-        ok = lib.juicy_load_corpus(
+        ok = lib.juicy_load_corpus_mt(
             c_paths, len(paths),
             arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            frames, channels)
+            frames, channels, threads)
         if ok != len(paths):
             raise IOError(f"native corpus load decoded {ok}/{len(paths)} files")
         return arena

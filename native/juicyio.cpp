@@ -167,6 +167,39 @@ int juicy_load_corpus(const char** paths, int32_t n, float* arena,
   return ok;
 }
 
+// Threaded variant: files are independent, so workers pull indices off an
+// atomic counter (no partitioning skew when file sizes vary). threads <= 0
+// picks hardware_concurrency. Returns the number successfully decoded;
+// failed slots are zeroed like the serial loader.
+int juicy_load_corpus_mt(const char** paths, int32_t n, float* arena,
+                         int64_t frames, int32_t channels, int32_t threads) {
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int32_t)hc : 4;
+  }
+  if (threads > n) threads = n > 0 ? n : 1;
+  if (threads <= 1) return juicy_load_corpus(paths, n, arena, frames, channels);
+  std::atomic<int32_t> next(0), ok(0);
+  const size_t clip_stride = (size_t)frames * channels;
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) return;
+      if (juicy_wav_read(paths[i], arena + (size_t)i * clip_stride,
+                         frames, channels) == 0)
+        ok.fetch_add(1, std::memory_order_relaxed);
+      else
+        memset(arena + (size_t)i * clip_stride, 0,
+               clip_stride * sizeof(float));
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok.load();
+}
+
 // ---------------------------------------------------------------------------
 // Lock-free SPSC float ring buffer — the realtime host bridge primitive
 // (the atomics thread-boundary of the reference, rebuilt as a block queue:

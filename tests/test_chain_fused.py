@@ -224,3 +224,61 @@ def test_fused_mixed_materials(rng):
                                         unroll=1)
         db = residual_dbfs(np.asarray(out_mixed[i]), np.asarray(want[0]))
         assert db <= -90.0, f"material {m} diverges in mixed batch: {db:.1f}"
+
+
+def _toy_lowpass_def():
+    """Custom ProcessorDef WITHOUT a registered fuser: a stateful one-pole
+    gain stage. Exercises fused_chain_step's vmap fallback path."""
+    from juicy_tpu.models.base import ParamSpec, ProcessorDef
+
+    def init(sr, channels):
+        return {"z": jnp.zeros((channels,), jnp.float32)}
+
+    def process(params, carry, block, sr):
+        g = jnp.asarray(params["gain"], jnp.float32)
+        a = jnp.float32(0.2)
+
+        def step(z, xt):
+            y = z + a * (xt - z)
+            return y, y * g
+        z, y = jax.lax.scan(step, carry["z"],
+                            jnp.moveaxis(block, -1, 0))
+        return jnp.moveaxis(y, 0, -1), {"z": z}
+
+    return ProcessorDef(
+        name="toylp", title="Toy LP", code="TOYL",
+        params=(ParamSpec("gain", "Gain", 0.0, 2.0, 1.0),),
+        presets=(), init=init, process=process)
+
+
+def test_fused_fallback_custom_processor_multidim_batch(rng):
+    """A custom processor with no fuser must run through fused_chain_step's
+    vmap fallback at ANY batch rank (rank-agnostic like the fused paths):
+    unbatched, [B], and [B1, B2] all agree with the stage-major runner."""
+    toy = _toy_lowpass_def()
+    ch = Chain([("punch", None), (toy, None), ("saturator", None)],
+               sr=SR, channels=2, block_size=BLOCK)
+    nb = 2
+    clips = np.stack([make_clip(rng, 2, BLOCK * nb) for _ in range(4)]) \
+        .astype(np.float32).reshape(2, 2, 2, BLOCK * nb)
+
+    # reference: stage-major over the flattened batch
+    flat = clips.reshape(4, 2, BLOCK * nb)
+    st_flat = jax.vmap(lambda _: ch.init_state())(jnp.arange(4))
+    out_ref, st_ref, _ = ch.batched_run(st_flat, jnp.asarray(flat))
+
+    # [B1, B2] through the fallback
+    st2 = jax.vmap(jax.vmap(lambda _: ch.init_state()))(
+        jnp.arange(4).reshape(2, 2))
+    out2, st2_f, _ = fused_chain_stream(ch, st2, jnp.asarray(clips), unroll=1)
+    res = residual_dbfs(np.asarray(out2).reshape(4, 2, -1), np.asarray(out_ref))
+    assert res <= -120.0, f"multi-dim fallback residual {res:.1f} dBFS"
+    np.testing.assert_allclose(
+        np.asarray(st2_f[1]["dsp"]["z"]).reshape(4, 2),
+        np.asarray(st_ref[1]["dsp"]["z"]), atol=1e-6)
+
+    # unbatched (batch_shape == ()) through the same fallback
+    out0, _, _ = fused_chain_stream(ch, ch.init_state(),
+                                    jnp.asarray(clips[0, 0]), unroll=1)
+    res0 = residual_dbfs(np.asarray(out0), np.asarray(out_ref[0]))
+    assert res0 <= -120.0, f"unbatched fallback residual {res0:.1f} dBFS"

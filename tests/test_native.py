@@ -67,3 +67,30 @@ def test_ring_buffer_full_rejects():
     assert ring.push(np.zeros(256, np.float32))
     assert not ring.push(np.ones(1, np.float32))   # realtime drop, no block
     ring.close()
+
+
+def test_native_corpus_threaded_matches_serial(tmp_path, rng):
+    """juicy_load_corpus_mt (worker pool over an atomic index) decodes the
+    same arena as the serial loader, under mixed lengths/channels and with
+    more files than threads."""
+    import ctypes
+
+    paths = []
+    for i in range(13):
+        ch = 1 if i % 3 == 0 else 2
+        n = 500 + 137 * i
+        p = os.path.join(tmp_path, f"c{i}.wav")
+        write_wav(p, make_clip(rng, ch, n), 48000)
+        paths.append(p)
+
+    arena_mt = native.load_corpus(paths, frames=1500, channels=2, threads=4)
+
+    lib = native.load_library()
+    arena_ser = np.zeros_like(arena_mt)
+    c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    ok = lib.juicy_load_corpus(
+        c_paths, len(paths),
+        arena_ser.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1500, 2)
+    assert ok == len(paths)
+    np.testing.assert_array_equal(arena_mt, arena_ser)
