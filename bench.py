@@ -84,6 +84,32 @@ def bench_config(stages, batch, fused=False, iters=3):
                 jnp.arange(cs.shape[0]))
             out, st, _m = chain_kernel_stream(chain, states, cs, unroll=32)
             return jnp.sum(out[..., -1]), out.shape
+    elif fused in ("chain_kernel_tiles", "chain_kernel_tiles_score"):
+        # tile-layout-native corpus (layout="tiles"): the corpus arrives in
+        # kernel-tile layout — native.load_corpus_tiles writes it straight
+        # from the WAV decode — so the device-side corpus transposes are
+        # never paid. The one-time repack here stands in for the loader and
+        # runs OUTSIDE the timed loop.
+        from juicy_tpu.kernels import stage_kernels as sk
+        from juicy_tpu.kernels.chain_kernel import (chain_kernel_stream,
+                                                    corpus_to_tiles)
+        tiles = jax.jit(lambda cs: corpus_to_tiles(cs, BLOCK))(clips)
+        np.asarray(tiles[0, 0, 0, :1])   # force completion (tunnel-safe)
+        clips.delete()                   # free the clip-major copy NOW —
+        clips = tiles                    # at B=8192 both don't fit HBM
+        score_only = fused.endswith("_score")
+
+        @jax.jit
+        def run_batch(ts):
+            bsz = ts.shape[1] * sk.TILE
+            states = jax.vmap(lambda _: chain.init_state())(jnp.arange(bsz))
+            out, st, ms = chain_kernel_stream(
+                chain, states, ts, unroll=32, layout="tiles",
+                metrics="final" if score_only else "blocks",
+                return_audio=not score_only)
+            if score_only:
+                return jnp.sum(ms[-1]["score"]), ()
+            return jnp.sum(out[-1, :, -1]), out.shape
     elif fused == "chain_kernel_score":
         # scoring-only corpus mode (return_audio=False): the render is
         # never stacked/transposed back — metrics are the only output
@@ -360,6 +386,13 @@ def main():
             ("full_chain_kernel_wood", chain_wood, 8192, "chain_kernel"),
             ("full_chain_kernel_score_only", CONFIGS["full_chain"], 8192,
              "chain_kernel_score"),
+            # tile-layout-native corpus: the loader emits kernel layout
+            # (native.load_corpus_tiles), so the device never pays the
+            # corpus transposes — audio is returned in tile layout
+            ("full_chain_kernel_tiles", CONFIGS["full_chain"], 8192,
+             "chain_kernel_tiles"),
+            ("full_chain_kernel_tiles_score_only", CONFIGS["full_chain"],
+             8192, "chain_kernel_tiles_score"),
             ("full_chain_fusedx", CONFIGS["full_chain"], BATCH,
              "chain_fused")]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
@@ -371,7 +404,8 @@ def main():
     # to re-measure everything) — compiles on this box take minutes per config
     # and the persistent cache keeps reruns honest.
     force = bool(os.environ.get("JUICY_BENCH_FORCE"))
-    always = {"full_chain_kernelx", "full_chain_fusedx", "full_chain"}
+    always = {"full_chain_kernelx", "full_chain_kernel_tiles",
+              "full_chain_fusedx", "full_chain"}
     for name, stages, batch, fused in jobs:
         if (not force and name not in always
                 and isinstance(details.get(name), dict)

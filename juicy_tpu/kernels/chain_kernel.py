@@ -78,6 +78,14 @@ serially in loop 1) — freeing room for the waveguide's sliding history
 window (DMA'd in/out like the texture stage kernel, with the write index
 threaded through a per-block SMEM word).
 
+Corpus layout: the kernels work on [nb, G, N*C*MSUB, 128] tile streams;
+`chain_kernel_stream` converts a [B, C, T] corpus with ONE 6-D transpose
+each way (corpus_to_tiles / tiles_to_corpus), or skips both under
+``layout="tiles"`` when the caller already holds tile data — the native
+loader (runtime/native.py:load_corpus_tiles) writes that layout straight
+from the WAV decode on host threads, so a scoring/serving pipeline never
+pays the device-side repack (~45 ms of a 234 ms wall at B=8192).
+
 Unsupported layouts (non-canonical stage order, mono chains, traced/mixed
 materials) raise ChainKernelUnsupported; callers fall back to the XLA
 fused executor.
@@ -125,6 +133,36 @@ VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 class ChainKernelUnsupported(Exception):
     """Raised when a chain layout cannot run on the kernel path."""
+
+
+def corpus_to_tiles(clips, block_size: int):
+    """[B, C, T] corpus -> [nb, G, N*C*MSUB, 128] kernel-tile layout.
+
+    ONE 6-D transpose over the whole corpus — measured 1.6x faster on TPU
+    than the per-block vmap(to_stream) composition (same element mapping:
+    clip b = g*TILE + m*LANES + lane, tile row = (s*C + ch)*MSUB + m).
+    `chain_kernel_stream(layout="tiles")` consumes/produces this layout
+    directly so a corpus pipeline never pays the transpose on-device (the
+    native loader emits it straight from the WAV decode,
+    runtime/native.py:load_corpus_tiles)."""
+    bsz, c, t = clips.shape
+    n = block_size
+    msub, lanes_n = sk.MSUB, sk.LANES
+    grid = bsz // sk.TILE
+    nb = t // n
+    return clips.reshape(grid, msub, lanes_n, c, nb, n).transpose(
+        4, 0, 5, 3, 1, 2).reshape(nb, grid, n * c * msub, lanes_n)
+
+
+def tiles_to_corpus(tiles, channels: int):
+    """Inverse of corpus_to_tiles: [nb, G, N*C*MSUB, 128] -> [B, C, T]."""
+    msub, lanes_n = sk.MSUB, sk.LANES
+    nb, grid, rows, _ = tiles.shape
+    c = channels
+    n = rows // (c * msub)
+    bsz = grid * sk.TILE
+    return tiles.reshape(nb, grid, n, c, msub, lanes_n).transpose(
+        1, 4, 5, 3, 0, 2).reshape(bsz, c, nb * n)
 
 
 def supports_chain_kernel(chain) -> bool:
@@ -1409,20 +1447,38 @@ def _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s, cms,
 
 def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
                       block: jnp.ndarray, unroll: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False, layout: str = "bct"):
     """One block [B, C, N] through the whole 7-plugin chain on the kernel
     path. Same contract as runtime.chain_fused.fused_chain_step with
-    metrics="blocks": returns (out, new_states, metrics_list)."""
+    metrics="blocks": returns (out, new_states, metrics_list).
+
+    `layout="tiles"`: the block arrives (and the render returns) in the
+    kernel's stream-tile layout [G, N*C*MSUB, 128] (stage_kernels
+    .to_stream) — the serving-tick analog of chain_kernel_stream's tile
+    corpora: a bridge that assembles its batch in tile layout skips the
+    per-tick device transposes."""
     mode = _check_chain(chain)
     block = jnp.asarray(block, jnp.float32)
-    if block.ndim != 3:
-        raise ChainKernelUnsupported(
-            f"chain kernel needs a single [B, C, N] batch axis, got "
-            f"shape {block.shape}")
-    bsz, c, n = block.shape
-    if bsz % sk.TILE:
-        raise ChainKernelUnsupported(
-            f"batch {bsz} must be a multiple of {sk.TILE}")
+    c = chain.channels
+    n = chain.block_size
+    if layout == "tiles":
+        if (block.ndim != 3 or block.shape[2] != sk.LANES
+                or block.shape[1] != n * c * sk.MSUB):
+            raise ChainKernelUnsupported(
+                f"layout='tiles' needs [G, {n * c * sk.MSUB}, {sk.LANES}] "
+                f"stream tiles, got {block.shape}")
+        bsz = block.shape[0] * sk.TILE
+    elif layout == "bct":
+        if block.ndim != 3:
+            raise ChainKernelUnsupported(
+                f"chain kernel needs a single [B, C, N] batch axis, got "
+                f"shape {block.shape}")
+        bsz, c, n = block.shape
+        if bsz % sk.TILE:
+            raise ChainKernelUnsupported(
+                f"batch {bsz} must be a multiple of {sk.TILE}")
+    else:
+        raise ValueError(f"unknown layout {layout!r} (bct | tiles)")
     if n % unroll:
         raise ChainKernelUnsupported(f"block {n} not divisible by "
                                      f"unroll {unroll}")
@@ -1436,8 +1492,9 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     ftiles = fpack(states)
     btiles = bpack(states)
     ffin0, bfin0 = _lane_seed_tiles(an_states, bsz)
+    x_t = block if layout == "tiles" else sk.to_stream(block)
     (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
-     bacc) = mcall(sk.to_stream(block), ftiles, btiles, ffin0, bfin0)
+     bacc) = mcall(x_t, ftiles, btiles, ffin0, bfin0)
 
     front_dsp = funpack(ftiles, states)
     width_dsp, co_dsp = bunpack(btiles, cmono_full)
@@ -1449,15 +1506,25 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
         bsz, n, sr)
     new_states = [{"analyzer": a, "dsp": d}
                   for a, d in zip(new_an, dsp_list)]
-    return sk.from_stream(out_t, bsz, c), new_states, metrics_list
+    out = out_t if layout == "tiles" else sk.from_stream(out_t, bsz, c)
+    return out, new_states, metrics_list
 
 
 def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
                         unroll: int = 16, interpret: bool = False,
-                        automation=None, return_audio: bool = True):
+                        automation=None, return_audio: bool = True,
+                        layout: str = "bct"):
     """Stream a [B, C, T] corpus through the kernel chain block-major,
     entirely in kernel-tile layout (states and audio repack exactly once).
     Same contract as runtime.chain_fused.fused_chain_stream.
+
+    `layout="tiles"` takes `clips` already in the kernel-tile layout
+    [nb, G, N*C*MSUB, 128] (see corpus_to_tiles) and returns the audio in
+    the same layout: the device-side corpus transposes — the largest
+    non-loop cost of the kernel path (~45 ms of a 234 ms wall at B=8192,
+    BASELINE.md) — are skipped entirely. The native loader writes this
+    layout straight from the WAV decode (native.load_corpus_tiles), so a
+    scoring/serving pipeline never pays them.
 
     `automation`: optional {stage index: {param: curve}} with one value
     per block ([nb] arrays) — the host-automation analog (the reference's
@@ -1474,33 +1541,46 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
     `out`."""
     mode = _check_chain(chain)
     clips = jnp.asarray(clips, jnp.float32)
-    if clips.ndim != 3:
-        raise ChainKernelUnsupported(
-            f"chain kernel needs [B, C, T] clips, got {clips.shape}")
-    bsz, c, t = clips.shape
     n = chain.block_size
     sr = chain.sr
-    if t % n:
-        raise ValueError(f"clip length {t} not divisible by block size {n}")
-    if bsz % sk.TILE:
-        raise ChainKernelUnsupported(
-            f"batch {bsz} must be a multiple of {sk.TILE}")
+    c = chain.channels
+    if layout == "tiles":
+        if clips.ndim != 4:
+            raise ChainKernelUnsupported(
+                "layout='tiles' needs [nb, G, N*C*MSUB, 128] tiles, got "
+                f"{clips.shape}")
+        nb, grid, rows, lanes = clips.shape
+        if lanes != sk.LANES or rows != n * c * sk.MSUB:
+            raise ChainKernelUnsupported(
+                f"tile shape {clips.shape} != [nb, G, "
+                f"{n * c * sk.MSUB}, {sk.LANES}] for block {n}, "
+                f"{c} channels")
+        bsz, t = grid * sk.TILE, nb * n
+    elif layout == "bct":
+        if clips.ndim != 3:
+            raise ChainKernelUnsupported(
+                f"chain kernel needs [B, C, T] clips, got {clips.shape}")
+        bsz, c, t = clips.shape
+        if t % n:
+            raise ValueError(
+                f"clip length {t} not divisible by block size {n}")
+        if bsz % sk.TILE:
+            raise ChainKernelUnsupported(
+                f"batch {bsz} must be a multiple of {sk.TILE}")
+        nb = t // n
+    else:
+        raise ValueError(f"unknown layout {layout!r} (bct | tiles)")
     if n % unroll:
         raise ChainKernelUnsupported(f"block {n} not divisible by "
                                      f"unroll {unroll}")
-    nb = t // n
     states = list(states)
 
     fpack, bpack, mcall, funpack, bunpack = _mono_machinery(
         chain, states, mode, bsz, unroll, interpret)
 
-    # ONE layout pass over the whole corpus: [B, C, T] -> [nb, G, rows, 128]
-    # as a single 6-D transpose — measured 1.6x faster on TPU than the
-    # per-block vmap(to_stream) composition (same element mapping).
-    msub, lanes_n = sk.MSUB, sk.LANES
-    grid = bsz // sk.TILE
-    x_tiles = clips.reshape(grid, msub, lanes_n, c, nb, n).transpose(
-        4, 0, 5, 3, 1, 2).reshape(nb, grid, n * c * msub, lanes_n)
+    # ONE layout pass over the whole corpus (or zero, when the caller
+    # already holds kernel-tile data): [B, C, T] -> [nb, G, rows, 128]
+    x_tiles = clips if layout == "tiles" else corpus_to_tiles(clips, n)
 
     an0 = [states[i]["analyzer"] for i in range(7)]
     ffin0, bfin0 = _lane_seed_tiles(an0, bsz)
@@ -1575,7 +1655,6 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
 
     if not return_audio:
         return None, new_states, ms
-    # ONE layout pass back, the inverse single transpose
-    out = out_tiles.reshape(nb, grid, n, c, msub, lanes_n).transpose(
-        1, 4, 5, 3, 0, 2).reshape(bsz, c, t)
+    # ONE layout pass back (skipped under layout="tiles")
+    out = out_tiles if layout == "tiles" else tiles_to_corpus(out_tiles, c)
     return out, new_states, ms

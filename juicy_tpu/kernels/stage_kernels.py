@@ -49,7 +49,7 @@ from juicy_tpu.utils.convert import db_to_gain, onepole_coeff, tau_coeff
 
 TILE = 1024         # clips per grid step ((16,128) stereo sample tiles)
 LANES = 128
-MSUB = TILE // LANES            # sublane rows per mono ([TILE]) quantity: 4
+MSUB = TILE // LANES            # sublane rows per mono ([TILE]) quantity
 
 
 def _csub(c):                   # sublane rows per stereo sample tile

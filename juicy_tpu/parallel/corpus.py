@@ -223,7 +223,8 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                      metrics: str = "final", use_kernel: str = "auto",
                      automation=None, materials=None,
-                     return_audio: bool = True, _interpret: bool = False):
+                     return_audio: bool = True, layout: str = "bct",
+                     _interpret: bool = False):
     """Full-chain corpus scoring with mesh batch sharding.
 
     Executor selection (`use_kernel`): "auto" runs the multi-stage VMEM
@@ -252,6 +253,13 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     case): the processed audio is never stacked or written back to HBM;
     `out` is None.
 
+    `layout="tiles"`: `clips` is already in the chain kernel's tile layout
+    [nb, G, N*C*MSUB, 128] (native.load_corpus_tiles writes it straight
+    from the WAV decode; chain_kernel.corpus_to_tiles converts on-device)
+    and the returned audio stays in it — the device-side corpus
+    transposes are skipped. Kernel executor only (raises otherwise);
+    mixed `materials` grouping needs clip-major data and is unsupported.
+
     Returns (out [B, C, T] or None, per-stage final metrics list, corpus
     aggregates of the last stage's metrics).
     """
@@ -259,7 +267,12 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     from juicy_tpu.kernels import stage_kernels as sk
     from juicy_tpu.runtime.chain_fused import fused_chain_stream
 
+    if layout not in ("bct", "tiles"):
+        raise ValueError(f"unknown layout {layout!r} (bct | tiles)")
     if materials is not None:
+        if layout == "tiles":
+            raise ck.ChainKernelUnsupported(
+                "mixed-material grouping needs clip-major [B, C, T] data")
         return _run_corpus_chain_grouped(
             chain, clips, materials, mesh=mesh, metrics=metrics,
             use_kernel=use_kernel, automation=automation,
@@ -268,15 +281,26 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     if mesh is None:
         mesh = make_mesh()
     clips = jnp.asarray(clips, jnp.float32)
-    sharding = batch_sharding(mesh, clips.ndim)
+    n_dev = mesh.devices.size
+    batch_axis = 1 if layout == "tiles" else 0   # tiles batch by grid tile
+    if layout == "tiles":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, "data", None, None))
+    else:
+        sharding = batch_sharding(mesh, clips.ndim)
     clips = jax.device_put(clips, sharding)
 
-    n_dev = mesh.devices.size
-    per_dev = clips.shape[0] // max(1, n_dev)
     platform_ok = jax.devices()[0].platform == "tpu" or _interpret
+    shardable = clips.shape[batch_axis] % max(1, n_dev) == 0
+    per_dev = clips.shape[batch_axis] // max(1, n_dev)
+    tile_ok = (layout == "tiles" or per_dev % sk.TILE == 0)
     kernel_ok = (use_kernel != "never" and ck.supports_chain_kernel(chain)
-                 and clips.shape[0] % max(1, n_dev) == 0
-                 and per_dev % sk.TILE == 0 and platform_ok)
+                 and shardable and tile_ok and platform_ok)
+    if layout == "tiles" and not kernel_ok:
+        raise ck.ChainKernelUnsupported(
+            "layout='tiles' runs on the kernel executor only (needs a "
+            "kernel-supported chain, TPU/interpret platform, and a grid "
+            "divisible by the mesh)")
     if use_kernel == "always" and not kernel_ok:
         raise ck.ChainKernelUnsupported(
             "chain/batch layout unsupported by the kernel executor")
@@ -292,16 +316,20 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
         from jax.sharding import PartitionSpec as P
 
         def shard_fn(cs):
-            states = jax.vmap(lambda _: chain.init_state())(
-                jnp.arange(cs.shape[0]))
+            bsz = (cs.shape[1] * sk.TILE if layout == "tiles"
+                   else cs.shape[0])
+            states = jax.vmap(lambda _: chain.init_state())(jnp.arange(bsz))
             out, _st, ms = ck.chain_kernel_stream(
                 chain, states, cs, metrics=metrics, interpret=_interpret,
-                automation=automation, return_audio=return_audio)
+                automation=automation, return_audio=return_audio,
+                layout=layout)
             return (out, ms) if return_audio else ms
 
+        dspec = (P(None, "data", None, None) if layout == "tiles"
+                 else P("data"))
         mspec = P(None, "data") if metrics == "blocks" else P("data")
-        ospec = (P("data"), mspec) if return_audio else mspec
-        sharded = shard_map(shard_fn, mesh=mesh, in_specs=P("data"),
+        ospec = (dspec, mspec) if return_audio else mspec
+        sharded = shard_map(shard_fn, mesh=mesh, in_specs=dspec,
                             out_specs=ospec, check_vma=False)
 
         # aggregate INSIDE the jit: the corpus means become XLA
@@ -323,7 +351,8 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                                               metrics=metrics,
                                               interpret=_interpret,
                                               automation=automation,
-                                              return_audio=return_audio)
+                                              return_audio=return_audio,
+                                              layout=layout)
         else:
             def stream(chain, states, cs, metrics):
                 return fused_chain_stream(chain, states, cs, metrics=metrics,
@@ -331,8 +360,9 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
 
         @jax.jit
         def batched(cs):
-            states = jax.vmap(lambda _: chain.init_state())(
-                jnp.arange(cs.shape[0]))
+            bsz = (cs.shape[1] * sk.TILE if layout == "tiles"
+                   else cs.shape[0])
+            states = jax.vmap(lambda _: chain.init_state())(jnp.arange(bsz))
             out, _st, ms = stream(chain, states, cs, metrics=metrics)
             agg = corpus_metrics(ms[-1]) if ms is not None else None
             return (out, ms, agg) if return_audio else (ms, agg)

@@ -53,11 +53,17 @@ def load_library(force_rebuild: bool = False) -> Optional[ctypes.CDLL]:
         if not _build():
             return None
     lib = ctypes.CDLL(_LIB_PATH)
-    if not hasattr(lib, "juicy_load_corpus_mt"):
-        # stale binary from before the threaded loader — rebuild once
+    if not (hasattr(lib, "juicy_load_corpus_mt")
+            and hasattr(lib, "juicy_load_corpus_tiles")):
+        # stale binary from before the threaded/tile loaders — rebuild once.
+        # dlopen caches by path within a process, so load the fresh build
+        # through a copy at a distinct path.
         if not _build():
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        import shutil
+        fresh = _LIB_PATH + ".fresh"
+        shutil.copy2(_LIB_PATH, fresh)
+        lib = ctypes.CDLL(fresh)
     lib.juicy_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(WavInfo)]
     lib.juicy_wav_info.restype = ctypes.c_int
     lib.juicy_wav_read.argtypes = [ctypes.c_char_p,
@@ -80,6 +86,13 @@ def load_library(force_rebuild: bool = False) -> Optional[ctypes.CDLL]:
                                          ctypes.c_int64, ctypes.c_int32,
                                          ctypes.c_int32]
     lib.juicy_load_corpus_mt.restype = ctypes.c_int
+    lib.juicy_load_corpus_tiles.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                            ctypes.c_int32,
+                                            ctypes.POINTER(ctypes.c_float),
+                                            ctypes.c_int64, ctypes.c_int32,
+                                            ctypes.c_int32, ctypes.c_int32,
+                                            ctypes.c_int32]
+    lib.juicy_load_corpus_tiles.restype = ctypes.c_int
     lib.juicy_ring_create.argtypes = [ctypes.c_int64]
     lib.juicy_ring_create.restype = ctypes.c_void_p
     lib.juicy_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -148,6 +161,44 @@ def load_corpus(paths: List[str], frames: int, channels: int = 2,
         if audio.shape[0] == 1 and channels > 1:
             arena[i, 1:, :t] = audio[0, :t]
     return arena
+
+
+def load_corpus_tiles(paths: List[str], frames: int, channels: int = 2,
+                      block_size: int = 512, threads: int = 0,
+                      tile: int = None) -> np.ndarray:
+    """Decode WAV files straight into the chain kernel's tile layout
+    [nb, G, block*C*MSUB, 128] (kernels/chain_kernel.py:corpus_to_tiles),
+    batch zero-padded up to the clip tile. Feeding this to
+    ``chain_kernel_stream(layout="tiles")`` / ``run_corpus_chain(
+    layout="tiles")`` skips the device-side corpus transposes entirely —
+    the repack happens on host threads during the decode pass.
+    """
+    from juicy_tpu.kernels import stage_kernels as sk
+    if tile is None:
+        tile = sk.TILE
+    if frames % block_size:
+        raise ValueError(f"frames {frames} not divisible by block "
+                         f"{block_size}")
+    nb = frames // block_size
+    padded = -(-len(paths) // tile) * tile
+    grid, msub = padded // tile, tile // 128
+    rows = block_size * channels * msub
+    lib = load_library()
+    if lib is not None:
+        arena = np.empty((nb, grid, rows, 128), np.float32)
+        c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        ok = lib.juicy_load_corpus_tiles(
+            c_paths, len(paths),
+            arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames, channels, block_size, tile, threads)
+        if ok != len(paths):
+            raise IOError(f"native corpus load decoded {ok}/{len(paths)} files")
+        return arena
+    planar = np.zeros((padded, channels, frames), np.float32)
+    planar[:len(paths)] = load_corpus(paths, frames, channels, threads)
+    return np.ascontiguousarray(
+        planar.reshape(grid, msub, 128, channels, nb, block_size)
+        .transpose(4, 0, 5, 3, 1, 2).reshape(nb, grid, rows, 128))
 
 
 class RingBuffer:

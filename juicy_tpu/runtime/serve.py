@@ -36,7 +36,7 @@ from juicy_tpu.runtime.plugin import Chain
 class StreamServer:
     def __init__(self, chain: Chain, max_streams: int,
                  metrics: str = "blocks", stage_metrics: str = "last",
-                 mesh=None):
+                 mesh=None, _interpret: bool = False):
         """`stage_metrics`: "last" returns the final stage's score per tick
         (cheapest host transfer); "all" returns every stage's metric dict
         per stream (the full meter-rail view).
@@ -99,19 +99,37 @@ class StreamServer:
         self._kernel_tick = (
             metrics == "blocks" and ck.supports_chain_kernel(chain)
             and (self.max_streams // n_dev) % sk.TILE == 0
-            and jax.devices()[0].platform == "tpu")
+            and (jax.devices()[0].platform == "tpu" or _interpret))
 
+        # the kernel tick runs in TILE layout end-to-end: the host batch
+        # is assembled directly in the kernel's [G, rows, 128] stream-tile
+        # order (same bytes, different offsets — what a native bridge's
+        # batch assembly does for free), so the device never pays the
+        # per-tick to_stream/from_stream transposes
         def _tick_shared(states, blocks):
             if self._kernel_tick:
-                return ck.chain_kernel_step(chain, states, blocks)
+                return ck.chain_kernel_step(chain, states, blocks,
+                                            layout="tiles",
+                                            interpret=_interpret)
             return fused_chain_step(chain, states, blocks,
                                     metrics=self.metrics)
 
+        if self._kernel_tick:
+            c, n, msub = chain.channels, chain.block_size, sk.MSUB
+            self._tile_dims = (self.max_streams // sk.TILE,
+                               n * c * msub, sk.LANES)
+            # [C, N] -> tile-row index pattern for one slot (lane fixed)
+            self._tile_rows = ((np.arange(n)[None, :] * c
+                                + np.arange(c)[:, None]) * msub)
+
         if self._kernel_tick and self.mesh is not None:
             # per-shard kernels: each device ticks its own slot shard
-            # (same SPMD topology as parallel.corpus.run_corpus_chain)
+            # (same SPMD topology as parallel.corpus.run_corpus_chain) —
+            # stream tiles shard over the grid axis
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
+            # P("data") shards axis 0 of every leaf: slot-major states and
+            # metrics [K, ...] and the stream tiles' grid axis [G, ...]
             self._tick_shared = jax.jit(shard_map(
                 _tick_shared, mesh=self.mesh, in_specs=P("data"),
                 out_specs=P("data"), check_vma=False))
@@ -208,11 +226,23 @@ class StreamServer:
         "pre_score": float[, "stages": [per-stage metric dicts]]}}. Streams
         that submitted nothing process silence (their state still advances,
         like a DAW feeding an idle track)."""
-        blocks = np.zeros((self.max_streams, self.chain.channels,
-                           self.chain.block_size), np.float32)
-        for sid, blk in self._pending.items():
-            blocks[sid] = blk
         submitted = [sid for sid in self._active if sid in self._pending]
+        kernel_path = self._kernel_tick and not self._custom_params
+        if kernel_path:
+            # assemble the batch directly in stream-tile order (the
+            # native-bridge assembly order): slot sid lands at
+            # [sid // TILE, rows + m, sid % LANES]
+            from juicy_tpu.kernels import stage_kernels as sk
+            blocks = np.zeros(self._tile_dims, np.float32)
+            for sid, blk in self._pending.items():
+                g, r = divmod(sid, sk.TILE)
+                m, lane = divmod(r, sk.LANES)
+                blocks[g, self._tile_rows + m, lane] = blk
+        else:
+            blocks = np.zeros((self.max_streams, self.chain.channels,
+                               self.chain.block_size), np.float32)
+            for sid, blk in self._pending.items():
+                blocks[sid] = blk
         self._pending.clear()
 
         jblocks = self._shard(jnp.asarray(blocks))
@@ -223,6 +253,15 @@ class StreamServer:
             out, self._states, metrics_list = self._tick_shared(
                 self._states, jblocks)
         out_np = np.asarray(out)
+        if kernel_path:
+            # de-scatter only the submitted slots from the output tiles
+            from juicy_tpu.kernels import stage_kernels as sk
+            tiles_np, gather = out_np, {}
+            for sid in submitted:
+                g, r = divmod(sid, sk.TILE)
+                m, lane = divmod(r, sk.LANES)
+                gather[sid] = tiles_np[g, self._tile_rows + m, lane]
+            out_np = gather
         results: Dict[int, Dict[str, np.ndarray]] = {}
         last = metrics_list[-1] if metrics_list is not None else None
         scores = np.asarray(last["score"]) if last is not None else None

@@ -200,6 +200,59 @@ int juicy_load_corpus_mt(const char** paths, int32_t n, float* arena,
   return ok.load();
 }
 
+// Kernel-tile layout loader: decode + repack straight into the chain
+// kernel's [nb, G, block*C*MSUB, 128] layout (kernels/chain_kernel.py:
+// corpus_to_tiles — clip b = g*tile + m*128 + lane, tile row =
+// (s*C + ch)*MSUB + m), so the device never pays the corpus transpose.
+// `tiles` must hold nb*G*block*C*MSUB*128 floats for the TILE-padded batch
+// (padding slots come out zero). Phase 1 decodes threaded into a planar
+// scratch; phase 2 repacks threaded over (k, g) tiles — writes are
+// sequential 512-byte rows, reads stream 16-samples-per-line across the
+// tile's 128 clip buffers (the active read lines fit L2).
+int juicy_load_corpus_tiles(const char** paths, int32_t n, float* tiles,
+                            int64_t frames, int32_t channels, int32_t block,
+                            int32_t tile, int32_t threads) {
+  if (block <= 0 || frames % block || tile % 128) return -1;
+  const int64_t nb = frames / block;
+  const int32_t padded = (int32_t)(((int64_t)n + tile - 1) / tile * tile);
+  const int32_t grid = padded / tile, msub = tile / 128;
+  const int64_t rows = (int64_t)block * channels * msub;
+  std::vector<float> planar((size_t)padded * channels * frames, 0.0f);
+  const int ok = juicy_load_corpus_mt(paths, n, planar.data(), frames,
+                                      channels, threads);
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int32_t)hc : 4;
+  }
+  const int64_t n_items = nb * grid;
+  if (threads > n_items) threads = (int32_t)(n_items > 0 ? n_items : 1);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t item = next.fetch_add(1, std::memory_order_relaxed);
+      if (item >= n_items) return;
+      const int64_t k = item / grid, g = item % grid;
+      float* out = tiles + (size_t)(k * grid + g) * rows * 128;
+      for (int32_t s = 0; s < block; ++s)
+        for (int32_t ch = 0; ch < channels; ++ch)
+          for (int32_t m = 0; m < msub; ++m) {
+            float* row = out + ((size_t)(s * channels + ch) * msub + m) * 128;
+            const float* src = planar.data() +
+                ((size_t)(g * tile + m * 128) * channels + ch) * frames +
+                k * block + s;
+            const size_t clip_stride = (size_t)channels * frames;
+            for (int32_t lane = 0; lane < 128; ++lane)
+              row[lane] = src[(size_t)lane * clip_stride];
+          }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return ok;
+}
+
 // ---------------------------------------------------------------------------
 // Lock-free SPSC float ring buffer — the realtime host bridge primitive
 // (the atomics thread-boundary of the reference, rebuilt as a block queue:

@@ -268,3 +268,61 @@ def test_chain_kernel_automation_matches_fused(rng):
     with pytest.raises(ck.ChainKernelUnsupported):
         ck.chain_kernel_stream(chain, states, clips, interpret=True,
                                automation={2: {"material": np.ones(nb)}})
+
+
+def test_chain_kernel_tiles_layout_matches_bct(rng):
+    """layout="tiles" (corpus already in kernel-tile layout; the
+    device-side corpus transposes skipped) must be BIT-exact vs the
+    [B, C, T] path: same kernel, same element mapping, only the repack
+    moves to the caller (corpus_to_tiles / the native loader)."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n, nb = 128, 128, 3
+    chain = _mk(CHAIN, n)
+    clips = jnp.asarray(_clips(rng, b, n * nb))
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    out_b, st_b, ms_b = ck.chain_kernel_stream(chain, states, clips,
+                                               unroll=4, interpret=True)
+
+    tiles = ck.corpus_to_tiles(clips, n)
+    # round-trip sanity: the helpers are exact inverses
+    np.testing.assert_array_equal(
+        np.asarray(ck.tiles_to_corpus(tiles, 2)), np.asarray(clips))
+
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    out_t, st_t, ms_t = ck.chain_kernel_stream(chain, states2, tiles,
+                                               unroll=4, interpret=True,
+                                               layout="tiles")
+    assert out_t.shape == tiles.shape
+    np.testing.assert_array_equal(
+        np.asarray(ck.tiles_to_corpus(out_t, 2)), np.asarray(out_b))
+    for a, bm in zip(ms_t, ms_b):
+        jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), a, bm)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), st_t, st_b)
+
+    with pytest.raises(ck.ChainKernelUnsupported):
+        ck.chain_kernel_stream(chain, states, clips, interpret=True,
+                               layout="tiles")   # 3-D data, tiles layout
+
+
+def test_chain_kernel_step_tiles_layout_matches_bct(rng):
+    """The serving-tick analog: chain_kernel_step(layout="tiles") takes a
+    [G, rows, 128] stream tile (a bridge that batches in tile layout) and
+    must be bit-exact vs the [B, C, N] tick."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n = 128, 128
+    chain = _mk(CHAIN, n)
+    blk = jnp.asarray(_clips(rng, b, n))
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    out_b, st_b, ms_b = ck.chain_kernel_step(chain, states, blk, unroll=4,
+                                             interpret=True)
+    out_t, st_t, ms_t = ck.chain_kernel_step(chain, states,
+                                             sk.to_stream(blk), unroll=4,
+                                             interpret=True, layout="tiles")
+    np.testing.assert_array_equal(
+        np.asarray(sk.from_stream(out_t, b, 2)), np.asarray(out_b))
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), (st_t, ms_t), (st_b, ms_b))

@@ -94,3 +94,39 @@ def test_native_corpus_threaded_matches_serial(tmp_path, rng):
         1500, 2)
     assert ok == len(paths)
     np.testing.assert_array_equal(arena_mt, arena_ser)
+
+
+def test_native_corpus_tiles_matches_python_repack(tmp_path, rng):
+    """juicy_load_corpus_tiles (decode + host-thread repack into the chain
+    kernel's [nb, G, rows, 128] layout) must equal corpus_to_tiles applied
+    to the serial loader's planar arena — including TILE zero-padding of
+    the batch and mono duplication."""
+    from juicy_tpu.kernels import chain_kernel as ck
+    import juicy_tpu.kernels.stage_kernels as sk
+    import jax.numpy as jnp
+
+    paths = []
+    for i in range(11):                 # pads up to 128 (one tile)
+        ch = 1 if i % 4 == 0 else 2
+        n = 400 + 101 * i
+        p = os.path.join(tmp_path, f"t{i}.wav")
+        write_wav(p, make_clip(rng, ch, n), 48000)
+        paths.append(p)
+
+    block, frames, tile = 256, 1024, 128
+    arena_t = native.load_corpus_tiles(paths, frames=frames, channels=2,
+                                       block_size=block, threads=3,
+                                       tile=tile)
+    assert arena_t.shape == (frames // block, 1, block * 2 * (tile // 128),
+                             128)
+
+    planar = np.zeros((tile, 2, frames), np.float32)
+    planar[:len(paths)] = native.load_corpus(paths, frames=frames,
+                                             channels=2)
+    old = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = tile, tile // 128
+    try:
+        want = np.asarray(ck.corpus_to_tiles(jnp.asarray(planar), block))
+    finally:
+        sk.TILE, sk.MSUB = old
+    np.testing.assert_array_equal(arena_t, want)

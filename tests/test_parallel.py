@@ -427,3 +427,45 @@ def test_corpus_chain_grouped_materials_fused(rng):
         np.testing.assert_allclose(np.asarray(ms_g[-1]["score"])[i],
                                    np.asarray(ms_m[-1]["score"])[0],
                                    atol=1e-4)
+
+
+def test_sharded_tiles_layout_corpus_matches_bct(rng):
+    """run_corpus_chain(layout="tiles") — corpus already in kernel-tile
+    layout, sharded over the GRID axis of the 8-device mesh — must
+    bit-match the clip-major path (same kernel; only the device-side
+    corpus transposes are skipped)."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    from juicy_tpu.kernels import chain_kernel as ck
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", "Solar Snap"), ("saturator", None),
+                  ("texture", None), ("motion", None), ("width", None),
+                  ("cohere", None), ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        b, nb = 1024, 2          # 8 devices x one grid tile each
+        clips = np.stack([make_clip(rng, 2, 128 * nb)
+                          for _ in range(8)] * (b // 8)).astype(np.float32)
+        mesh = make_mesh()
+        out_b, ms_b, _ = run_corpus_chain(
+            chain, clips, mesh=mesh, metrics="final", use_kernel="always",
+            _interpret=True)
+        tiles = np.asarray(ck.corpus_to_tiles(jnp.asarray(clips), 128))
+        out_t, ms_t, agg = run_corpus_chain(
+            chain, tiles, mesh=mesh, metrics="final", use_kernel="always",
+            layout="tiles", _interpret=True)
+        assert out_t.shape == tiles.shape
+        np.testing.assert_array_equal(
+            np.asarray(ck.tiles_to_corpus(out_t, 2)), np.asarray(out_b))
+        np.testing.assert_array_equal(np.asarray(ms_t[-1]["score"]),
+                                      np.asarray(ms_b[-1]["score"]))
+        assert 0.0 <= float(agg["score"]["mean"]) <= 100.0
+        # tiles layout is kernel-only: the fused executor cannot take it
+        with pytest.raises(ck.ChainKernelUnsupported):
+            run_corpus_chain(chain, tiles, mesh=mesh, use_kernel="never",
+                             layout="tiles", _interpret=True)
+    finally:
+        sk.TILE, sk.MSUB = tile, msub

@@ -201,3 +201,47 @@ def test_stream_server_mesh_sharded(rng):
 
     with pytest.raises(ValueError):
         StreamServer(chain, max_streams=9, mesh=mesh)
+
+
+def test_stream_server_kernel_tick_matches_fused(rng):
+    """The kernel tick (tile-layout batch assembly + chain_kernel_step
+    layout="tiles") must serve the same audio/scores as the XLA fused
+    tick, and as a solo Chain.run — interpret mode stands in for the
+    TPU-only eligibility."""
+    import juicy_tpu.kernels.stage_kernels as sk
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", "Solar Snap"), ("saturator", None),
+                  ("texture", None), ("motion", None), ("width", None),
+                  ("cohere", None), ("infer", None)]
+        chain = Chain(stages, sr=SR, channels=2, block_size=128)
+        kserver = StreamServer(chain, max_streams=128, _interpret=True)
+        assert kserver._kernel_tick
+        fserver = StreamServer(chain, max_streams=128)
+        assert not fserver._kernel_tick
+        clip_a = make_clip(rng, 2, 128 * 3)
+        clip_b = make_clip(rng, 2, 128 * 3) * 0.5
+
+        outs, scores = [], []
+        for server in (kserver, fserver):
+            a = server.open_stream()
+            b = server.open_stream()
+            got_a, got_b, sc = [], [], []
+            for k in range(3):
+                server.submit(a, clip_a[:, k * 128:(k + 1) * 128])
+                server.submit(b, clip_b[:, k * 128:(k + 1) * 128])
+                res = server.tick()
+                got_a.append(res[a]["audio"])
+                got_b.append(res[b]["audio"])
+                sc.append((res[a]["score"], res[b]["score"]))
+            outs.append((np.concatenate(got_a, -1),
+                         np.concatenate(got_b, -1)))
+            scores.append(np.asarray(sc))
+        for ka, fa in zip(outs[0], outs[1]):
+            db = residual_dbfs(ka, fa)
+            assert db <= -90.0, f"kernel tick diverges from fused: {db:.1f}"
+        np.testing.assert_allclose(scores[0], scores[1], atol=2e-3)
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
