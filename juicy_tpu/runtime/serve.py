@@ -18,7 +18,8 @@ where every track runs the same insert chain with its own knob settings
 e.g. JuicyPunch/PluginProcessor.cpp:74-80). While every slot still has the
 default parameters the tick dispatches the shared-params fast path; the
 first per-slot edit switches (one recompile) to a vmapped step with
-parameter rows.
+parameter rows, and the pool drops back to the fast path — including the
+chain-kernel tick — once every custom-params tenant has closed its stream.
 """
 
 from __future__ import annotations
@@ -68,7 +69,10 @@ class StreamServer:
              for k, v in stage_params.items()}
             for stage_params in chain.params]
         self._params = [dict(rows) for rows in self._default_rows]
-        self._custom_params = False
+        # slots whose rows differ from the defaults: while empty, ticks
+        # dispatch the shared-params fast path (kernel tick when eligible);
+        # the pool recovers it when every custom-params tenant has left
+        self._custom_slots: set = set()
 
         if self.mesh is not None:
             from juicy_tpu.parallel.mesh import batch_sharding
@@ -152,16 +156,22 @@ class StreamServer:
             raise RuntimeError(f"all {self.max_streams} stream slots in use")
         sid = self._free.pop()
         self._states = self._reset_slot(self._states, sid, self._fresh)
-        for stage, defaults in zip(self._params, self._default_rows):
-            for k in stage:
-                stage[k] = stage[k].at[sid].set(defaults[k][sid])
+        self._reset_params(sid)
         self._active[sid] = True
         return sid
 
     def close_stream(self, sid: int) -> None:
         self._active.pop(sid, None)
         self._pending.pop(sid, None)
+        self._reset_params(sid)
         self._free.append(sid)
+
+    def _reset_params(self, sid: int) -> None:
+        if sid in self._custom_slots:
+            for stage, defaults in zip(self._params, self._default_rows):
+                for k in stage:
+                    stage[k] = stage[k].at[sid].set(defaults[k][sid])
+            self._custom_slots.discard(sid)
 
     @property
     def active_streams(self) -> int:
@@ -185,13 +195,14 @@ class StreamServer:
             raise KeyError(f"stream {sid} is not open")
         i = self._stage_index(stage)
         rows = self._params[i]
-        for key, value in updates.items():
-            if key not in rows:
-                raise KeyError(
+        for key in updates:                # validate before any write so a
+            if key not in rows:            # bad key can't leave the rows
+                raise KeyError(            # half-edited
                     f"stage {self.chain.plugins[i].defn.name!r} has no "
                     f"parameter {key!r}")
+        for key, value in updates.items():
             rows[key] = rows[key].at[sid].set(jnp.float32(value))
-        self._custom_params = True
+        self._custom_slots.add(sid)
 
     def set_preset(self, sid: int, stage: Union[int, str],
                    preset: str) -> None:
@@ -227,7 +238,7 @@ class StreamServer:
         that submitted nothing process silence (their state still advances,
         like a DAW feeding an idle track)."""
         submitted = [sid for sid in self._active if sid in self._pending]
-        kernel_path = self._kernel_tick and not self._custom_params
+        kernel_path = self._kernel_tick and not self._custom_slots
         if kernel_path:
             # assemble the batch directly in stream-tile order (the
             # native-bridge assembly order): slot sid lands at
@@ -246,7 +257,7 @@ class StreamServer:
         self._pending.clear()
 
         jblocks = self._shard(jnp.asarray(blocks))
-        if self._custom_params:
+        if self._custom_slots:
             out, self._states, metrics_list = self._tick_rows(
                 self._states, jblocks, self._params)
         else:

@@ -124,6 +124,41 @@ def test_stream_server_per_stream_presets(rng):
         pytest.approx(float(chain.params[0]["punch"]))
 
 
+def test_stream_server_fast_path_recovers_after_custom_tenant(rng):
+    """The shared-params fast path (and with it the kernel tick) comes back
+    once every custom-params tenant closes its stream — an edited pool is
+    not degraded to the vmapped-rows tick forever."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=2)
+    clip = make_clip(rng, 2, BLOCK)
+
+    a = server.open_stream()
+    b = server.open_stream()
+    server.submit(a, clip)
+    res = server.tick()
+    before = res[a]["audio"].copy()
+    assert not server._custom_slots
+
+    server.set_params(b, "saturator", drive=13.5)
+    assert server._custom_slots == {b}
+    server.submit(a, clip)
+    server.submit(b, clip)
+    server.tick()                      # rows path while b is custom
+
+    server.close_stream(b)             # last custom tenant leaves
+    assert not server._custom_slots
+    # reopened slot sees default params again
+    c = server.open_stream()
+    assert server.get_params(c, "saturator")["drive"] == pytest.approx(
+        float(chain.params[1]["drive"]))
+    # fresh default stream on the recovered fast path matches the original
+    server.close_stream(a)
+    d = server.open_stream()
+    server.submit(d, clip)
+    after = server.tick()[d]["audio"]
+    np.testing.assert_allclose(after, before, atol=2e-6)
+
+
 def test_stream_server_all_stage_metrics(rng):
     """stage_metrics='all' returns every stage's metric dict per stream."""
     chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
