@@ -144,13 +144,14 @@ class Plugin:
 
     def _split_static(self, params):
         """Pull static_params out as concrete python values (params marked
-        traced via with_traced stay in the traced dict)."""
+        traced via with_traced stay in the traced dict). Pure: the returned
+        static dict is NOT applied to this instance — callers that want the
+        split to bind (e.g. Chain construction) go through with_static."""
         traced = dict(params)
         static = {}
         for key in self.defn.static_params:
             if key in traced and key not in self._traced:
                 static[key] = int(jax.device_get(traced.pop(key)))
-        self._static.update(static)
         return traced, static
 
     def full_params(self, params):
@@ -257,14 +258,17 @@ class Chain:
         self.params = []
         for defn, preset in stages:
             plug = Plugin(defn, sr, channels, block_size)
-            self.plugins.append(plug)
             if isinstance(preset, dict):
-                p, _ = plug._split_static(dict(plug.defn.default_params(), **preset))
+                p, static = plug._split_static(
+                    dict(plug.defn.default_params(), **preset))
+                if static:        # bind explicitly (e.g. texture material)
+                    plug = plug.with_static(**static)
                 self.params.append(p)
             elif preset is None:
                 self.params.append(plug.default_params())
             else:
                 self.params.append(plug.preset(preset))
+            self.plugins.append(plug)
         self.sr = float(sr)
         self.channels = int(channels)
         self.block_size = int(block_size)

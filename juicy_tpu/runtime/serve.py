@@ -69,10 +69,12 @@ class StreamServer:
              for k, v in stage_params.items()}
             for stage_params in chain.params]
         self._params = [dict(rows) for rows in self._default_rows]
-        # slots whose rows differ from the defaults: while empty, ticks
-        # dispatch the shared-params fast path (kernel tick when eligible);
-        # the pool recovers it when every custom-params tenant has left
-        self._custom_slots: set = set()
+        # slots whose rows differ from the defaults, mapped to the exact
+        # (stage, key) pairs they edited: while empty, ticks dispatch the
+        # shared-params fast path (kernel tick when eligible); the pool
+        # recovers it when every custom-params tenant has left, and closing
+        # a tenant restores only the rows it actually touched
+        self._custom_slots: Dict[int, set] = {}
 
         if self.mesh is not None:
             from juicy_tpu.parallel.mesh import batch_sharding
@@ -125,6 +127,13 @@ class StreamServer:
             # [C, N] -> tile-row index pattern for one slot (lane fixed)
             self._tile_rows = ((np.arange(n)[None, :] * c
                                 + np.arange(c)[:, None]) * msub)
+        # persistent assembly pool: the tick scatters submitted blocks into
+        # slot-major [S, C, N] with ONE fancy-index write, then repacks the
+        # whole pool to kernel-tile layout with ONE transpose (the
+        # corpus_to_tiles mapping) — no per-slot Python loop in the tick
+        self._assembly = np.zeros(
+            (self.max_streams, chain.channels, chain.block_size), np.float32)
+        self._assembled_sids = np.empty(0, np.int64)
 
         if self._kernel_tick and self.mesh is not None:
             # per-shard kernels: each device ticks its own slot shard
@@ -161,17 +170,20 @@ class StreamServer:
         return sid
 
     def close_stream(self, sid: int) -> None:
+        if sid not in self._active:       # double close / never-opened sid
+            raise KeyError(f"stream {sid} is not open")
         self._active.pop(sid, None)
         self._pending.pop(sid, None)
         self._reset_params(sid)
         self._free.append(sid)
 
     def _reset_params(self, sid: int) -> None:
-        if sid in self._custom_slots:
-            for stage, defaults in zip(self._params, self._default_rows):
-                for k in stage:
-                    stage[k] = stage[k].at[sid].set(defaults[k][sid])
-            self._custom_slots.discard(sid)
+        edited = self._custom_slots.pop(sid, None)
+        if edited:
+            # restore only the rows this tenant actually touched
+            for i, k in edited:
+                self._params[i][k] = self._params[i][k].at[sid].set(
+                    self._default_rows[i][k][sid])
 
     @property
     def active_streams(self) -> int:
@@ -202,7 +214,8 @@ class StreamServer:
                     f"parameter {key!r}")
         for key, value in updates.items():
             rows[key] = rows[key].at[sid].set(jnp.float32(value))
-        self._custom_slots.add(sid)
+        self._custom_slots.setdefault(sid, set()).update(
+            (i, key) for key in updates)
 
     def set_preset(self, sid: int, stage: Union[int, str],
                    preset: str) -> None:
@@ -230,32 +243,66 @@ class StreamServer:
                              f"(channels, block_size) = {expected}")
         self._pending[sid] = block
 
-    def tick(self) -> Dict[int, Dict[str, np.ndarray]]:
-        """One batched device step over every submitted block.
+    def submit_many(self, sids, blocks) -> None:
+        """Bulk submit: `sids` [K] stream ids, `blocks` [K, C, N] — the
+        host-integrator fast path (one call per tick instead of K)."""
+        sids = np.asarray(sids, np.int64)
+        blocks = np.asarray(blocks, np.float32)
+        expected = (len(sids), self.chain.channels, self.chain.block_size)
+        if blocks.shape != expected:
+            raise ValueError(f"blocks shape {blocks.shape} != {expected}")
+        for sid in sids.tolist():
+            if sid not in self._active:
+                raise KeyError(f"stream {sid} is not open")
+        for sid, blk in zip(sids.tolist(), blocks):
+            self._pending[sid] = blk
 
-        Returns {stream id: {"audio": [C, N], "score": float,
-        "pre_score": float[, "stages": [per-stage metric dicts]]}}. Streams
-        that submitted nothing process silence (their state still advances,
-        like a DAW feeding an idle track)."""
-        submitted = [sid for sid in self._active if sid in self._pending]
-        kernel_path = self._kernel_tick and not self._custom_slots
-        if kernel_path:
-            # assemble the batch directly in stream-tile order (the
-            # native-bridge assembly order): slot sid lands at
-            # [sid // TILE, rows + m, sid % LANES]
-            from juicy_tpu.kernels import stage_kernels as sk
-            blocks = np.zeros(self._tile_dims, np.float32)
-            for sid, blk in self._pending.items():
-                g, r = divmod(sid, sk.TILE)
-                m, lane = divmod(r, sk.LANES)
-                blocks[g, self._tile_rows + m, lane] = blk
+    def _assemble(self):
+        """Scatter pending blocks into the slot-major pool buffer; returns
+        the sorted submitted sids. One fancy-index write (plus zeroing the
+        previous tick's rows) — no per-slot loop."""
+        if self._pending:
+            sids = np.fromiter(self._pending.keys(), np.int64,
+                               len(self._pending))
+            order = np.argsort(sids)
+            sids = sids[order]
+            blks = np.stack(list(self._pending.values()))[order]
         else:
-            blocks = np.zeros((self.max_streams, self.chain.channels,
-                               self.chain.block_size), np.float32)
-            for sid, blk in self._pending.items():
-                blocks[sid] = blk
+            sids = np.empty(0, np.int64)
+            blks = np.empty((0,) + self._assembly.shape[1:], np.float32)
+        if self._assembled_sids.size:
+            self._assembly[self._assembled_sids] = 0.0
+        if sids.size:
+            self._assembly[sids] = blks
+        self._assembled_sids = sids
         self._pending.clear()
+        return sids
 
+    def _pool_to_tiles(self, pool):
+        """[S, C, N] pool -> kernel stream tiles [G, N*C*MSUB, 128] (the
+        corpus_to_tiles element mapping, single-block form)."""
+        from juicy_tpu.kernels import stage_kernels as sk
+        s, c, n = pool.shape
+        g = s // sk.TILE
+        return np.ascontiguousarray(
+            pool.reshape(g, sk.MSUB, sk.LANES, c, n)
+            .transpose(0, 4, 3, 1, 2)).reshape(g, n * c * sk.MSUB, sk.LANES)
+
+    def _tiles_to_pool(self, tiles):
+        """Inverse of _pool_to_tiles: [G, N*C*MSUB, 128] -> [S, C, N]."""
+        from juicy_tpu.kernels import stage_kernels as sk
+        c, n = self.chain.channels, self.chain.block_size
+        g = tiles.shape[0]
+        return np.ascontiguousarray(
+            tiles.reshape(g, n, c, sk.MSUB, sk.LANES)
+            .transpose(0, 3, 4, 2, 1)).reshape(g * sk.TILE, c, n)
+
+    def _device_tick(self, sids):
+        """Run one device step over the assembled pool. Returns
+        (submitted audio [K, C, N], metrics_list)."""
+        kernel_path = self._kernel_tick and not self._custom_slots
+        blocks = (self._pool_to_tiles(self._assembly) if kernel_path
+                  else self._assembly)
         jblocks = self._shard(jnp.asarray(blocks))
         if self._custom_slots:
             out, self._states, metrics_list = self._tick_rows(
@@ -265,14 +312,38 @@ class StreamServer:
                 self._states, jblocks)
         out_np = np.asarray(out)
         if kernel_path:
-            # de-scatter only the submitted slots from the output tiles
-            from juicy_tpu.kernels import stage_kernels as sk
-            tiles_np, gather = out_np, {}
-            for sid in submitted:
-                g, r = divmod(sid, sk.TILE)
-                m, lane = divmod(r, sk.LANES)
-                gather[sid] = tiles_np[g, self._tile_rows + m, lane]
-            out_np = gather
+            out_np = self._tiles_to_pool(out_np)
+        return out_np[sids], metrics_list
+
+    def tick_arrays(self):
+        """One batched device step over every submitted block — bulk form.
+
+        Returns (sids [K] sorted, audio [K, C, N], scores [K] | None,
+        pre_scores [K] | None): raw arrays with no per-stream Python
+        objects, the shape a host integrator consumes at thousands of
+        streams per tick. Streams that submitted nothing process silence
+        (their state still advances, like a DAW feeding an idle track)."""
+        sids = self._assemble()
+        audio, metrics_list = self._device_tick(sids)
+        if metrics_list is not None:
+            last = metrics_list[-1]
+            scores = np.asarray(last["score"])[sids]
+            pre = np.asarray(last["pre_score"])[sids]
+        else:
+            scores = pre = None
+        return sids, audio, scores, pre
+
+    def tick(self) -> Dict[int, Dict[str, np.ndarray]]:
+        """One batched device step over every submitted block.
+
+        Returns {stream id: {"audio": [C, N], "score": float,
+        "pre_score": float[, "stages": [per-stage metric dicts]]}}. Streams
+        that submitted nothing process silence (their state still advances,
+        like a DAW feeding an idle track). For bulk serving prefer
+        tick_arrays() — this dict-of-dicts view costs O(K) Python object
+        churn that the array form avoids."""
+        sids = self._assemble()
+        audio, metrics_list = self._device_tick(sids)
         results: Dict[int, Dict[str, np.ndarray]] = {}
         last = metrics_list[-1] if metrics_list is not None else None
         scores = np.asarray(last["score"]) if last is not None else None
@@ -281,14 +352,14 @@ class StreamServer:
                           for m in metrics_list]
         else:
             stage_rows = None
-        for sid in submitted:
-            entry = {"audio": out_np[sid]}
+        for k, sid in enumerate(sids.tolist()):
+            entry = {"audio": audio[k]}
             if scores is not None:
                 entry["score"] = float(scores[sid])
                 entry["pre_score"] = float(np.asarray(last["pre_score"])[sid])
             if stage_rows is not None:
                 entry["stages"] = [
-                    {k: float(v[sid]) for k, v in row.items()}
+                    {k2: float(v[sid]) for k2, v in row.items()}
                     for row in stage_rows]
             results[sid] = entry
         return results

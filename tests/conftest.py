@@ -88,3 +88,32 @@ def pytest_configure(config):
         "markers",
         "slow: heavyweight compile/oracle tests; `-m 'not slow'` is the "
         "quick gate (<5 min on this box), the full suite is the bar")
+    config.addinivalue_line(
+        "markers",
+        "smoke: tiny iteration tier (`-m smoke`, target <2 min): one null "
+        "per plugin, one kernel-interpret step, one serve tick")
+
+
+# The smoke tier is an auto-marked subset — one representative per
+# subsystem — so iteration doesn't pay the full quick gate. Keep this list
+# small and fast; it is a sanity tier, not a correctness bar.
+_SMOKE_PREFIXES = (
+    "test_processors.py::test_saturator_null",
+    "test_processors.py::test_punch_null",
+    "test_processors.py::test_width_null",
+    "test_processors.py::test_infer_null",
+    "test_processors.py::test_cohere_null",
+    "test_processors.py::test_motion_null",
+    "test_processors.py::test_texture_materials_null[0-",
+    "test_analyzer.py::test_analyzer_stereo",
+    "test_kernels.py::test_saturator_full_step_kernel_matches",
+    "test_serve.py::test_stream_server_matches_solo_run",
+    "test_runtime.py::test_checkpoint_roundtrip",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = item.nodeid.split("tests/")[-1]
+        if any(key.startswith(p) for p in _SMOKE_PREFIXES):
+            item.add_marker(pytest.mark.smoke)

@@ -287,3 +287,23 @@ def test_program_in_checkpoint(tmp_path):
     assert plug2.current_program == 3
     assert plug2.program_name(3) == "Custom Grain"
     assert float(p2["drive"]) == pytest.approx(18.0)
+
+
+def test_plugin_static_split_is_pure():
+    """_split_static returns the split without mutating the instance (a
+    preset dict containing `material` must not silently re-pin the plugin —
+    with_static is the only binding path)."""
+    from juicy_tpu.runtime.plugin import Chain, Plugin
+    plug = Plugin("texture", sr=48000.0, channels=2, block_size=512)
+    base = dict(plug._static)
+    plug.default_params()
+    assert plug._static == base
+    p = dict(plug.defn.default_params())
+    p["material"] = 3
+    traced, static = plug._split_static(p)
+    assert static == {"material": 3} and "material" not in traced
+    assert plug._static == base          # still unbound
+    # Chain construction binds a dict preset's static params explicitly
+    chain = Chain([("texture", {"material": 2})], 48000.0, 2, 512)
+    assert chain.plugins[0]._static["material"] == 2
+    assert "material" not in chain.params[0]

@@ -60,6 +60,49 @@ def test_stream_server_slot_recycling(rng):
     np.testing.assert_allclose(again, first, atol=2e-6)
 
 
+def test_stream_server_double_close_rejected(rng):
+    """Double close (or closing a never-opened sid) raises instead of
+    corrupting the free list with a duplicate slot."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=2)
+    a = server.open_stream()
+    server.close_stream(a)
+    with pytest.raises(KeyError):
+        server.close_stream(a)
+    with pytest.raises(KeyError):
+        server.close_stream(99)
+    # the pool still hands out exactly max_streams distinct slots
+    s1, s2 = server.open_stream(), server.open_stream()
+    assert s1 != s2
+    with pytest.raises(RuntimeError):
+        server.open_stream()
+
+
+def test_stream_server_bulk_api_matches_scalar(rng):
+    """submit_many + tick_arrays produce the same audio/scores as the
+    per-stream submit/tick dict API."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    clip_a = make_clip(rng, 2, BLOCK)
+    clip_b = make_clip(rng, 2, BLOCK) * 0.5
+
+    ref = StreamServer(chain, max_streams=4)
+    ra, rb = ref.open_stream(), ref.open_stream()
+    ref.submit(ra, clip_a)
+    ref.submit(rb, clip_b)
+    want = ref.tick()
+
+    srv = StreamServer(chain, max_streams=4)
+    a, b = srv.open_stream(), srv.open_stream()
+    srv.submit_many([a, b], np.stack([clip_a, clip_b]))
+    sids, audio, scores, pre = srv.tick_arrays()
+    np.testing.assert_array_equal(sids, sorted([a, b]))
+    by_sid = {int(s): k for k, s in enumerate(sids)}
+    for sid, w in ((a, want[ra]), (b, want[rb])):
+        np.testing.assert_allclose(audio[by_sid[sid]], w["audio"], atol=1e-7)
+        assert scores[by_sid[sid]] == pytest.approx(w["score"], abs=1e-5)
+        assert pre[by_sid[sid]] == pytest.approx(w["pre_score"], abs=1e-5)
+
+
 def test_stream_server_idle_stream_advances(rng):
     """A stream that submits nothing processes silence but keeps its state
     moving (like an idle DAW track), and is not in the results."""
@@ -140,7 +183,7 @@ def test_stream_server_fast_path_recovers_after_custom_tenant(rng):
     assert not server._custom_slots
 
     server.set_params(b, "saturator", drive=13.5)
-    assert server._custom_slots == {b}
+    assert set(server._custom_slots) == {b}
     server.submit(a, clip)
     server.submit(b, clip)
     server.tick()                      # rows path while b is custom
