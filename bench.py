@@ -244,41 +244,58 @@ def bench_realtime_latency(iters=50):
     }
 
 
-def bench_pipelined_latency(depths=(0, 1, 2, 4), iters=60):
+def bench_pipelined_latency(configs=((512, 0, 1), (512, 1, 1), (512, 2, 1),
+                                     (512, 4, 1), (512, 2, 4), (512, 2, 8),
+                                     (1024, 2, 1), (2048, 2, 1)),
+                            iters=60):
     """Single-stream LIVE latency with pipelined dispatch
-    (runtime/host_bridge.py PipelinedStream): per-tick wall time when block
-    k's dispatch overlaps block k−depth's transfer, vs the synchronous
-    round trip (depth 0). A depth-d pipeline adds d·block_size samples of
-    reported latency (setLatencySamples analog); realtime capability =
-    p95 per-tick wall < the 10.67 ms callback deadline."""
+    (runtime/host_bridge.py PipelinedStream): per-tick wall time when tick
+    k's dispatch overlaps tick k−depth's transfer, vs the synchronous
+    round trip (depth 0). Each config is (block_size, depth,
+    blocks_per_tick): blocks_per_tick > 1 is the device-resident
+    multi-block tick (one dispatch lax.scans k blocks on-device), which
+    amortizes the per-dispatch tunnel floor over k block periods — the
+    deadline per tick is k·block/sr while the dispatch cost stays ~flat.
+    Reported latency = depth·k·block samples (setLatencySamples analog);
+    realtime capability = p95 per-tick wall < the per-tick deadline."""
     import numpy as np
     from juicy_tpu.runtime.host_bridge import PipelinedStream
     from juicy_tpu.runtime.plugin import Chain
 
-    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
-    deadline_ms = 1e3 * BLOCK / SR
-    blocks = make_batch(1, CHANNELS, BLOCK * (iters + 10))[0]
-    out = {"deadline_ms": round(deadline_ms, 3), "per_depth": {}}
-    for depth in depths:
-        ps = PipelinedStream(chain, depth=depth)
+    out = {"configs": {}}
+    best = None
+    for block, depth, k in configs:
+        chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=block)
+        tick_n = block * k
+        deadline_ms = 1e3 * tick_n / SR
+        blocks = make_batch(1, CHANNELS, tick_n * (iters + depth + 4),
+                            seed=11)[0]
+        ps = PipelinedStream(chain, depth=depth, blocks_per_tick=k)
         # warmup/compile + fill the pipeline
-        for k in range(depth + 3):
-            ps.tick(blocks[:, k * BLOCK:(k + 1) * BLOCK])
+        for i in range(depth + 3):
+            ps.tick(blocks[:, i * tick_n:(i + 1) * tick_n])
         times = []
-        for k in range(depth + 3, depth + 3 + iters):
+        for i in range(depth + 3, depth + 3 + iters):
             t0 = time.perf_counter()
-            res = ps.tick(blocks[:, k * BLOCK:(k + 1) * BLOCK])
+            res = ps.tick(blocks[:, i * tick_n:(i + 1) * tick_n])
             assert res is not None
             times.append(time.perf_counter() - t0)
         times.sort()
         p50 = times[len(times) // 2]
         p95 = times[int(len(times) * 0.95)]
-        out["per_depth"][str(depth)] = {
+        row = {
+            "deadline_ms": round(deadline_ms, 3),
             "p50_ms": round(1e3 * p50, 2),
             "p95_ms": round(1e3 * p95, 2),
             "latency_samples": ps.latency_samples,
             "realtime_capable": bool(p95 * 1e3 < deadline_ms),
         }
+        out["configs"][f"block{block}_depth{depth}_k{k}"] = row
+        if row["realtime_capable"] and (
+                best is None or ps.latency_samples <
+                out["configs"][best]["latency_samples"]):
+            best = f"block{block}_depth{depth}_k{k}"
+    out["first_realtime_config"] = best
     return out
 
 

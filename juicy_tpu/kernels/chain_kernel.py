@@ -103,6 +103,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from juicy_tpu.kernels import stage_kernels as sk
+from juicy_tpu.ops.precise import log2_32, pow32, tanh32
 from juicy_tpu.models import (motion as _motion, punch as _punch,
                               saturator as _sat, texture as _texture)
 from juicy_tpu.utils.convert import (db_to_gain, jlimit, jmap,
@@ -420,7 +421,7 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
             # saturator DSP (cpp:89-96; serial tone op order)
             driven = d1 * s_in
             skewed = driven + s_asym * driven * driven
-            soft = jnp.tanh(skewed)
+            soft = tanh32(skewed)
             tone = tone + s_tone_c * (soft - tone)
             d2 = d1 + s_mix * (tone * s_out - d1)
             # texture DSP (cpp:107-277)
@@ -785,10 +786,11 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
     t_mid = jnp.where(learn, t_mid0 + (me - t_mid0) * a02, t_mid0)
     t_high = jnp.where(learn, t_high0 + (he - t_high0) * a02, t_high0)
 
-    inv_ln10_20 = jnp.float32(20.0 / np.log(10.0))
+    db_per_log2 = jnp.float32(20.0 / np.log2(10.0))
 
     def g2db(x):
-        db = inv_ln10_20 * jnp.log(jnp.maximum(x, jnp.float32(1e-30)))
+        # pinned log2 (ops/precise.py) — matches convert.gain_to_db exactly
+        db = db_per_log2 * log2_32(jnp.maximum(x, jnp.float32(1e-30)))
         return jnp.maximum(db, jnp.float32(-100.0))
 
     low_err = jnp.abs(g2db((le + eps) / (t_low + eps)))
@@ -801,7 +803,7 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
     expo = jnp.float32(0.25) * match_amt
 
     def comp(tgt, e):
-        p = jnp.exp(expo * jnp.log((tgt + eps) / (e + eps)))
+        p = pow32((tgt + eps) / (e + eps), expo)
         return jnp.clip(p, jnp.float32(0.5), jnp.float32(1.8))
 
     low_comp = comp(t_low, le)

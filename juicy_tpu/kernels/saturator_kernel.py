@@ -15,9 +15,11 @@ HBM traffic: read the block once, write it once, plus a few (8,128) state
 and accumulator tiles — the unfused fast path pays 3 extra block passes.
 Batch layout: (8,128) = 1024 clips per grid step, time-major.
 
-tanh inside the loop uses jnp.tanh (XLA's f32 kernel); its ≤1-ulp deviation
-from libm feeds only contractive state, so null budgets hold (validated in
-tests/test_kernels.py against the scan path).
+tanh inside the loop is the drift-pinned tanh32 (ops/precise.py): XLA:TPU's
+built-in f32 tanh is a fast 4.4e-5-abs-error approximation (−87 dBFS on its
+own); tanh32 restores the libm-class 1e-7 the compiled C++ reference gets
+from glibc tanhf (validated in tests/test_kernels.py against the scan path
+and on-chip in tools/certify_onchip.py).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from juicy_tpu.ops.precise import tanh32
 from juicy_tpu.utils.convert import db_to_gain, jmap, onepole_coeff, tau_coeff
 
 from jax.experimental import pallas as pl
@@ -97,7 +100,7 @@ def _make_kernel(channels: int):
                 dry = x_ref[0, ch, i]
                 driven = dry * in_gain
                 skewed = driven + asym * driven * driven
-                soft = jnp.tanh(skewed)
+                soft = tanh32(skewed)
                 t = tone[ch] + tone_c * (soft - tone[ch])
                 new_tone.append(t)
                 wet = t * out_gain

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from juicy_tpu import analyzer as _an
 from juicy_tpu.models import punch as _punch
+from juicy_tpu.ops.precise import pow32, tanh32
 from juicy_tpu.utils.convert import db_to_gain, onepole_coeff, tau_coeff
 
 TILE = 1024         # clips per grid step ((16,128) stereo sample tiles)
@@ -243,7 +244,7 @@ def _punch_shape_gain(dry, f_env, s_env, p, out_gain):
     transient = jnp.maximum(jnp.float32(0.0), f_env - s_env)
     curve_exp = jnp.float32(0.95) + p["slam"] * (jnp.float32(0.55)
                                                  - jnp.float32(0.95))
-    transient_curve = jnp.power(transient, curve_exp)
+    transient_curve = pow32(transient, curve_exp)
     punch_gain = one + (p["punch"] * jnp.float32(12.0)
                         + p["slam"] * jnp.float32(22.0)) * transient_curve
     sustain_gain = one + (p["sustain"] * jnp.float32(4.0)
@@ -251,7 +252,7 @@ def _punch_shape_gain(dry, f_env, s_env, p, out_gain):
         jnp.maximum(jnp.float32(0.0), s_env - transient * jnp.float32(0.6))
     wet = dry * punch_gain * sustain_gain
     drive = one + p["clip"] * jnp.float32(8.0) + p["slam"] * jnp.float32(4.0)
-    soft = jnp.tanh(wet * drive) / jnp.tanh(drive)
+    soft = tanh32(wet * drive) / tanh32(drive)
     hard = jnp.clip(wet * (one + p["clip"] * jnp.float32(2.0)),
                     jnp.float32(-0.95), jnp.float32(0.95))
     wet = soft + p["clip"] * (hard - soft)
@@ -533,7 +534,7 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
             vel = vel + acc
             pos = pos + vel
             shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
-            shaped = jnp.tanh(shaped * (jnp.float32(0.96)
+            shaped = tanh32(shaped * (jnp.float32(0.96)
                                         + jnp.float32(0.28) * kc["texture"]))
             return shaped, [pos, vel]
 
@@ -604,7 +605,7 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
         pb = pb + vb
         tissue = jnp.float32(0.92) * pa + jnp.float32(0.58) * pb
         nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
-        shaped = jnp.tanh((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
+        shaped = tanh32((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
                           * (jnp.float32(0.98)
                              + jnp.float32(0.16) * kc["texture"]))
         return shaped, [pa, va, pb, vb]
@@ -1035,7 +1036,7 @@ def _sat_kernel(n, c, unroll, params_ref, x_ref, dsp_ref, lane_ref,
             # cpp:89-96: drive -> asym skew -> tanh -> tone one-pole -> mix
             driven = d * in_gain
             skewed = driven + asym * driven * driven
-            soft = jnp.tanh(skewed)
+            soft = tanh32(skewed)
             tone = tone + tone_c * (soft - tone)
             wet = tone * out_gain
             ys.append(d + mix * (wet - d))

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.precise import pow32
 from juicy_tpu.ops.scan_utils import default_unroll
 from juicy_tpu.utils.convert import db_to_gain, gain_to_db, jlimit, onepole_coeff
 
@@ -98,9 +99,9 @@ def block_gains(carry, low_e, mid_e, high_e, params):
     context_fit = jlimit(0.0, 100.0, jnp.float32(100.0) - deviation * jnp.float32(10.0))
 
     expo = jnp.float32(0.25) * match_amt
-    low_comp = jlimit(0.5, 1.8, jnp.power((t_low + eps) / (low_e + eps), expo))
-    mid_comp = jlimit(0.5, 1.8, jnp.power((t_mid + eps) / (mid_e + eps), expo))
-    high_comp = jlimit(0.5, 1.8, jnp.power((t_high + eps) / (high_e + eps), expo))
+    low_comp = jlimit(0.5, 1.8, pow32((t_low + eps) / (low_e + eps), expo))
+    mid_comp = jlimit(0.5, 1.8, pow32((t_mid + eps) / (mid_e + eps), expo))
+    high_comp = jlimit(0.5, 1.8, pow32((t_high + eps) / (high_e + eps), expo))
     fb = jlimit(0.0, 0.93, decay)
     return (t_low, t_mid, t_high), context_fit, (low_comp, mid_comp, high_comp), fb
 

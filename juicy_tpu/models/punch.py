@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.precise import pow32, tanh32
 from juicy_tpu.ops.scan_utils import default_unroll
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, tau_coeff
 
@@ -66,7 +67,10 @@ def punch_shape(dry, f_env, s_env, params, b=lambda v: v):
 
     transient = jnp.maximum(jnp.float32(0.0), f_env - s_env)
     curve_exp = jmap(slam_amt, 0.95, 0.55)
-    transient_curve = jnp.power(transient, b(curve_exp))
+    # pow32/tanh32: libm-class pinned transcendentals (ops/precise.py) —
+    # XLA:TPU's fast tanh/pow are 4.4e-5/5e-6 off glibc, which alone put
+    # the on-chip chain at ~-80 dBFS vs the C++ oracle.
+    transient_curve = pow32(transient, b(curve_exp))
     punch_gain = one + (b(punch_amt) * jnp.float32(12.0)
                         + b(slam_amt) * jnp.float32(22.0)) * transient_curve
     sustain_gain = one + (b(sustain_amt) * jnp.float32(4.0)
@@ -75,7 +79,7 @@ def punch_shape(dry, f_env, s_env, params, b=lambda v: v):
 
     wet = dry * punch_gain * sustain_gain
     drive = one + b(clip_amt) * jnp.float32(8.0) + b(slam_amt) * jnp.float32(4.0)
-    soft = jnp.tanh(wet * drive) / jnp.tanh(drive)
+    soft = tanh32(wet * drive) / tanh32(drive)
     hard = jlimit(-0.95, 0.95, wet * (one + b(clip_amt) * jnp.float32(2.0)))
     wet = soft + b(clip_amt) * (hard - soft)
 

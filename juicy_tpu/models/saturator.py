@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from juicy_tpu.models import base
+from juicy_tpu.ops.precise import tanh32
 from juicy_tpu.ops.scan_utils import onepole_lowpass
 from juicy_tpu.utils.convert import db_to_gain, jmap, onepole_coeff
 
@@ -58,7 +59,7 @@ def sat_pre(dry, k, b=lambda v: v):
     """Stateless drive→skew→tanh front (cpp:89-92); rank-polymorphic."""
     driven = dry * b(k["in_gain"])
     skewed = driven + b(k["asym"]) * driven * driven
-    return jnp.tanh(skewed)
+    return tanh32(skewed)   # pinned: XLA:TPU tanh is 4.4e-5 off libm
 
 
 def sat_post(dry, toned, k, b=lambda v: v):

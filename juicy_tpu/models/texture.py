@@ -38,6 +38,7 @@ import numpy as np
 
 from juicy_tpu.models import base
 from juicy_tpu.ops.noise import lcg_advance, lcg_sequence, white_from_bits
+from juicy_tpu.ops.precise import tanh32
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap, onepole_coeff, tau_coeff
 
 PARAMS = (
@@ -209,7 +210,7 @@ def _material_substep(mode: int, p, sr: float, L: int):
             vel = vel + acc
             pos = pos + vel
             shaped = jnp.float32(0.48) * core + jnp.float32(1.85) * pos
-            shaped = jnp.tanh(shaped * (jnp.float32(0.96) + jnp.float32(0.28) * texture))
+            shaped = tanh32(shaped * (jnp.float32(0.96) + jnp.float32(0.28) * texture))
             return shaped, (pos, vel)
 
         return (lambda c: (c["spring_pos"], c["spring_vel"]), step,
@@ -291,7 +292,7 @@ def _material_substep(mode: int, p, sr: float, L: int):
         pb = pb + vb
         tissue = jnp.float32(0.92) * pa + jnp.float32(0.58) * pb
         nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
-        shaped = jnp.tanh((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
+        shaped = tanh32((jnp.float32(0.50) * core + jnp.float32(1.34) * nl)
                           * (jnp.float32(0.98) + jnp.float32(0.16) * texture))
         return shaped, (pa, va, pb, vb)
 
@@ -561,7 +562,7 @@ def _material_substep_traced(p, sr: float, L: int):
         vel_n = vel + acc
         pos_n = pos + vel_n
         shaped_gel = jnp.float32(0.48) * core + jnp.float32(1.85) * pos_n
-        shaped_gel = jnp.tanh(shaped_gel * (jnp.float32(0.96)
+        shaped_gel = tanh32(shaped_gel * (jnp.float32(0.96)
                                             + jnp.float32(0.28) * texture))
 
         # --- metal (cpp:152-169), per-sample coefficients ---
@@ -623,7 +624,7 @@ def _material_substep_traced(p, sr: float, L: int):
         pb_n = pb + vb_n
         tissue = jnp.float32(0.92) * pa_n + jnp.float32(0.58) * pb_n
         nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
-        shaped_flesh = jnp.tanh((jnp.float32(0.50) * core
+        shaped_flesh = tanh32((jnp.float32(0.50) * core
                                  + jnp.float32(1.34) * nl)
                                 * (jnp.float32(0.98)
                                    + jnp.float32(0.16) * texture))

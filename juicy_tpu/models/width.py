@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from juicy_tpu.models import base
 from juicy_tpu.ops.delays import block_delay_read, update_tail_window
+from juicy_tpu.ops.precise import pow32
 from juicy_tpu.utils.convert import db_to_gain, jlimit, jmap
 
 PARAMS = (
@@ -92,7 +93,7 @@ def process(params, carry, block, sr: float):
     dynamic_limit = jmap(mono_safe, 1.0, 0.35)
     dips = (corr_proxy < jnp.float32(-0.1)).astype(jnp.float32)
     shrink_pow = jnp.cumsum(dips, axis=-1)        # inclusive: shrink applies
-    width_seq = b(width0) * jnp.power(b(dynamic_limit), shrink_pow)
+    width_seq = b(width0) * pow32(b(dynamic_limit), shrink_pow)
 
     mid = jnp.float32(0.5) * (dry_l + dry_r)
     side = jnp.float32(0.5) * (dry_l - dry_r) * (jnp.float32(1.0) + width_seq)

@@ -25,17 +25,29 @@ _MINUS_INFINITY_DB = -100.0
 
 
 def db_to_gain(db):
-    """10^(db/20) with the JUCE −100 dB ⇒ 0 gain floor."""
+    """10^(db/20) with the JUCE −100 dB ⇒ 0 gain floor.
+
+    Evaluated as exp2(db·log2(10)/20) through the drift-pinned exp2_32
+    (ops/precise.py): XLA:TPU's pow is ~5e-6 rel off glibc powf, which on a
+    full-scale output gain alone is a −106 dBFS null floor."""
+    from juicy_tpu.ops.precise import exp2_32
+    import math
     db = jnp.asarray(db, jnp.float32)
-    gain = jnp.power(jnp.float32(10.0), db * jnp.float32(1.0 / 20.0))
+    gain = exp2_32(db * jnp.float32(math.log2(10.0) / 20.0))
     return jnp.where(db > _MINUS_INFINITY_DB, gain, jnp.float32(0.0))
 
 
 def gain_to_db(gain):
-    """20·log10(gain), floored at −100 dB for non-positive gains."""
+    """20·log10(gain), floored at −100 dB for non-positive gains.
+
+    Evaluated as (20/log2 10)·log2_32(gain) (pinned; XLA:TPU log is ~1e-4
+    abs off libm). The chain kernel's lane finalize uses the identical
+    form (kernels/chain_kernel.py g2db) so kernel ≡ fused holds."""
+    from juicy_tpu.ops.precise import log2_32
+    import math
     gain = jnp.asarray(gain, jnp.float32)
     safe = jnp.maximum(gain, jnp.float32(1e-30))
-    db = jnp.float32(20.0) * jnp.log10(safe)
+    db = jnp.float32(20.0 / math.log2(10.0)) * log2_32(safe)
     return jnp.where(gain > 0.0, jnp.maximum(db, _MINUS_INFINITY_DB),
                      jnp.float32(_MINUS_INFINITY_DB))
 
