@@ -244,33 +244,42 @@ def bench_realtime_latency(iters=50):
     }
 
 
-def bench_pipelined_latency(configs=((512, 0, 1), (512, 1, 1), (512, 2, 1),
-                                     (512, 4, 1), (512, 2, 4), (512, 2, 8),
-                                     (1024, 2, 1), (2048, 2, 1)),
+def bench_pipelined_latency(configs=((512, 2, 1, "fused"),
+                                     (512, 4, 1, "fused"),
+                                     (512, 2, 1, "kernel"),
+                                     (512, 2, 2, "kernel"),
+                                     (512, 2, 4, "kernel"),
+                                     (512, 1, 2, "kernel"),
+                                     (1024, 2, 1, "kernel"),
+                                     (1024, 1, 1, "kernel")),
                             iters=60):
     """Single-stream LIVE latency with pipelined dispatch
     (runtime/host_bridge.py PipelinedStream): per-tick wall time when tick
     k's dispatch overlaps tick k−depth's transfer, vs the synchronous
     round trip (depth 0). Each config is (block_size, depth,
-    blocks_per_tick): blocks_per_tick > 1 is the device-resident
+    blocks_per_tick, executor): blocks_per_tick > 1 is the device-resident
     multi-block tick (one dispatch lax.scans k blocks on-device), which
     amortizes the per-dispatch tunnel floor over k block periods — the
     deadline per tick is k·block/sr while the dispatch cost stays ~flat.
-    Reported latency = depth·k·block samples (setLatencySamples analog);
-    realtime capability = p95 per-tick wall < the per-tick deadline."""
+    executor="kernel" ticks through the chain kernel (one tile, one live
+    lane — ~0.26 ms/block device wall instead of the fused executor's
+    issue-bound ~14 ms). Reported latency = depth·k·block samples
+    (setLatencySamples analog); realtime capability = p95 per-tick wall
+    < the per-tick deadline."""
     import numpy as np
     from juicy_tpu.runtime.host_bridge import PipelinedStream
     from juicy_tpu.runtime.plugin import Chain
 
     out = {"configs": {}}
     best = None
-    for block, depth, k in configs:
+    for block, depth, k, executor in configs:
         chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=block)
         tick_n = block * k
         deadline_ms = 1e3 * tick_n / SR
         blocks = make_batch(1, CHANNELS, tick_n * (iters + depth + 4),
                             seed=11)[0]
-        ps = PipelinedStream(chain, depth=depth, blocks_per_tick=k)
+        ps = PipelinedStream(chain, depth=depth, blocks_per_tick=k,
+                             use_kernel=(executor == "kernel"))
         # warmup/compile + fill the pipeline
         for i in range(depth + 3):
             ps.tick(blocks[:, i * tick_n:(i + 1) * tick_n])
@@ -288,13 +297,15 @@ def bench_pipelined_latency(configs=((512, 0, 1), (512, 1, 1), (512, 2, 1),
             "p50_ms": round(1e3 * p50, 2),
             "p95_ms": round(1e3 * p95, 2),
             "latency_samples": ps.latency_samples,
+            "executor": executor,
             "realtime_capable": bool(p95 * 1e3 < deadline_ms),
         }
-        out["configs"][f"block{block}_depth{depth}_k{k}"] = row
+        key = f"{executor}_block{block}_depth{depth}_k{k}"
+        out["configs"][key] = row
         if row["realtime_capable"] and (
                 best is None or ps.latency_samples <
                 out["configs"][best]["latency_samples"]):
-            best = f"block{block}_depth{depth}_k{k}"
+            best = key
     out["first_realtime_config"] = best
     return out
 

@@ -259,3 +259,47 @@ def test_pipelined_stream_plugin_and_depth0(rng):
     want, _, _ = plug.run(plug.default_params(), plug.init_state(),
                           jnp.asarray(clip))
     np.testing.assert_allclose(audio, np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pipelined_stream_kernel_path(rng):
+    """The kernel-path tick (one chain-kernel tile, one live lane) renders
+    the same audio as the fused-executor tick for the canonical chain —
+    the configuration that makes the single-stream realtime deadline
+    (BENCH_DETAILS.json pipelined_latency, BASELINE.md)."""
+    from juicy_tpu.runtime.host_bridge import PipelinedStream
+    from juicy_tpu.runtime.plugin import Chain
+
+    block, nb = 128, 3
+    stages = [("punch", None), ("saturator", None), ("texture", None),
+              ("motion", None), ("width", None), ("cohere", None),
+              ("infer", None)]
+    chain = Chain(stages, sr=48000.0, channels=2, block_size=block)
+    clip = make_clip(rng, 2, block * nb)
+    want, _, wms = chain.run(chain.init_state(), jnp.asarray(clip))
+
+    ps = PipelinedStream(chain, depth=0, use_kernel=True, _interpret=True)
+    assert ps.kernel_path
+    got, scores = [], []
+    for k in range(nb):
+        audio, metrics = ps.tick(clip[:, k * block:(k + 1) * block])
+        got.append(audio)
+        scores.append(metrics["score"])
+        assert 0.0 <= metrics["score"] <= 100.0
+    np.testing.assert_allclose(np.concatenate(got, axis=-1),
+                               np.asarray(want), atol=2e-5)
+    # final-stage score matches the fused executor's last-stage metrics
+    want_scores = np.asarray(wms[-1]["score"]).reshape(-1)
+    np.testing.assert_allclose(scores[-1], float(want_scores[-1]), atol=1e-3)
+
+
+def test_pipelined_stream_kernel_flag_rejects_unsupported(rng):
+    from juicy_tpu.runtime.host_bridge import PipelinedStream
+    from juicy_tpu.runtime.plugin import Chain
+
+    chain = Chain([("punch", None), ("saturator", None)],
+                  sr=48000.0, channels=2, block_size=512)
+    with pytest.raises(ValueError):
+        PipelinedStream(chain, use_kernel=True, _interpret=True)
+    ps = PipelinedStream(chain, depth=0, use_kernel="auto")  # falls back
+    assert not ps.kernel_path
