@@ -204,7 +204,14 @@ def _check_chain(chain) -> int:
 
 def _lane9_step(lane, mono, k):
     """One packed lane sample; serial op order of JuicinessAnalyzer.cpp:
-    57-84 (envelopes, onset counting, band splits + band energies)."""
+    57-84 (envelopes, onset counting, band splits + band energies).
+
+    `k` entries are SMEM scalars on the shared-params path, or per-clip
+    (MSUB, 128) tiles on the parameter-rows path — tiled here to the
+    packed-lane height (loop-invariant: vreg renaming, not a real copy)."""
+    if getattr(k[0], "ndim", 0) == 2 and k[0].shape[0] != mono.shape[0]:
+        rep = mono.shape[0] // k[0].shape[0]
+        k = tuple(jnp.concatenate([v] * rep, axis=0) for v in k)
     (atk_s, rel_s, atk_l, rel_l, low_c, high_c, cd_samples) = k
     one = jnp.float32(1.0)
     s_env, l_env, cooldown, t_acc, count, lo, hi, lo_acc, hi_acc = lane
@@ -327,36 +334,70 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
                   out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
                   mmono_out, mchan_out, mrng_out, fin_ref, acc_ref,
                   newhist_ref, y1_ref, y2_ref, ch_scratch, window_ref,
-                  dma_sem):
+                  dma_sem, rows_ref=None):
     # Lane state threads block-to-block ENTIRELY in fin-tile form: each
     # pre lane inits from the previous block's POST lane rows (one shared
     # analyzer instance per plugin threads pre -> post -> next pre,
     # JuicinessAnalyzer.h:33-43). pffin_ref/pbfin_ref are the previous
     # block's fin outputs (or the seed tiles, _lane_seed_tiles).
+    #
+    # rows_ref (PER-STREAM PARAMETER ROWS, the per-track-knob analog —
+    # every reference instance reads its own APVTS atomics,
+    # JuicyPunch/PluginProcessor.cpp:74-80): a [W*MSUB, 128] VMEM block
+    # holding each pvec entry as a per-clip (MSUB, 128) tile in the same
+    # index space as the SMEM pvec. When present, `nextp` yields tiles and
+    # the DSP math runs vector*vector instead of scalar*vector — the SAME
+    # VPU op count, so per-stream knobs cost ~nothing on the kernel tick.
+    # Structural entries (scalar row/ring indices) still read the SMEM
+    # pvec via `nexts`.
     msub = sk.MSUB
     csub = c * msub
     wave = mode in (2, 3)
     one = jnp.float32(1.0)
     half = jnp.float32(0.5)
     P = [0]
+    rowp = rows_ref is not None
 
     def nextp(k=1):
+        if rowp:
+            vals = tuple(rows_ref[pl.ds((P[0] + i) * msub, msub), :]
+                         for i in range(k))
+        else:
+            vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+        P[0] += k
+        return vals if k > 1 else vals[0]
+
+    def nexts(k=1):
+        """Structural entries: always the SMEM scalar (uniform by
+        contract — serve/step eligibility enforces it)."""
         vals = tuple(params_ref[0, P[0] + i] for i in range(k))
         P[0] += k
         return vals if k > 1 else vals[0]
 
-    lane_k = tuple(nextp(7))
+    def xc(p):
+        """Channel-tiled view for stereo-tile ([CSUB, 128]) use sites."""
+        return jnp.concatenate([p] * c, axis=0) if (rowp and c > 1) else p
+
+    # analyzer lane consts are functions of sr alone (sk._lane_consts) —
+    # never per-stream — so they stay SMEM scalars in rows mode too
+    lane_k = tuple(nexts(7))
     # punch consts (JuicyPunch cpp:74-110)
-    pp = {key: nextp() for key in sk._PUNCH_PKEYS}
-    p_out_gain, fast_c, slow_c = nextp(3)
+    pp = {key: xc(nextp()) for key in sk._PUNCH_PKEYS}
+    p_out_gain, fast_c, slow_c = map(xc, nextp(3))
     # saturator consts (JuicySaturator cpp:74-96)
-    s_in, s_asym, s_tone_c, s_out, s_mix = nextp(5)
-    # motion consts (JuicyMotion cpp:64-99)
+    s_in, s_asym, s_tone_c, s_out, s_mix = map(xc, nextp(5))
+    # motion consts (JuicyMotion cpp:64-99) — mono ([MSUB, 128]) sites
     mo_micro_var, mo_repeat_ctrl = nextp(2)
     mo_kc = {key: nextp() for key in _MOTION_KC_KEYS}
     mo_tau15 = nextp()
-    # texture consts (variable length -> last)
-    tex_kc, tex_mc = sk.tex_unpack(nextp, mode)
+    # texture consts (variable length -> last); stereo sites, so
+    # channel-tile everything except the structural waveguide indices
+    tex_kc, tex_mc = sk.tex_unpack(nextp, mode, nexts=nexts)
+    tex_kc = {k: xc(v) for k, v in tex_kc.items()}
+    tex_mc = {k: (v if k in ("delay", "widx0_f")
+                  else (tuple(xc(e) for e in v) if isinstance(v, tuple)
+                        else xc(v)))
+              for k, v in tex_mc.items()}
     if wave:
         # the waveguide write index advances per block: it rides its own
         # SMEM input (the main param vector is stream-constant)
@@ -632,23 +673,44 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
 
 def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
                  ctail_ref, lanes_ref, out_ref, newwin_ref, cmono_out,
-                 ctail_out, fin_ref, acc_ref, x5_ref, window_ref, dma_sem):
+                 ctail_out, fin_ref, acc_ref, x5_ref, window_ref, dma_sem,
+                 rows_ref=None):
     msub = sk.MSUB
     csub = c * msub
     one = jnp.float32(1.0)
     half = jnp.float32(0.5)
     P = [0]
+    rowp = rows_ref is not None
 
     def nextp(k=1):
+        if rowp:
+            vals = tuple(rows_ref[pl.ds((P[0] + i) * msub, msub), :]
+                         for i in range(k))
+        else:
+            vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+        P[0] += k
+        return vals if k > 1 else vals[0]
+
+    def nexts(k=1):
         vals = tuple(params_ref[0, P[0] + i] for i in range(k))
         P[0] += k
         return vals if k > 1 else vals[0]
 
-    lane_k = tuple(nextp(7))
-    w_width0, w_limit, w_mix, w_out, w_delay_f = nextp(5)
-    low_c, high_c = nextp(2)
+    def xc(p):
+        return jnp.concatenate([p] * c, axis=0) if (rowp and c > 1) else p
+
+    lane_k = tuple(nexts(7))          # sr-only consts: SMEM either way
+    w_width0, w_limit, w_mix, w_out = nextp(4)
+    # the Haas delay is a scalar window ROW OFFSET — structural, uniform
+    # by contract (serve's eligibility check keeps per-stream haasMs edits
+    # off the kernel rows path)
+    w_delay_f = nexts()
+    low_c, high_c = nextp(2)          # mono form (loop 1)
+    low_cc, high_cc = xc(low_c), xc(high_c)   # stereo form (loop 2)
     match_amt, learn_f, decay, tail_amt, co_mix, co_out = nextp(6)
+    tail_amt, co_mix, co_out = xc(tail_amt), xc(co_mix), xc(co_out)
     trim_gain, inv_n = nextp(2)
+    trim_gain = xc(trim_gain)
 
     g = pl.program_id(0)
     cp = pltpu.make_async_copy(win_ref.at[g],
@@ -809,7 +871,7 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
     low_comp = comp(t_low, le)
     mid_comp = comp(t_mid, me)
     high_comp = comp(t_high, he)
-    fb = jnp.clip(decay, jnp.float32(0.0), jnp.float32(0.93))
+    fb = xc(jnp.clip(decay, jnp.float32(0.0), jnp.float32(0.93)))
 
     cmono_out[0:msub, :] = a_low
     cmono_out[msub:2 * msub, :] = a_high
@@ -838,8 +900,8 @@ def _back_kernel(n, c, unroll, D, params_ref, x_ref, win_ref, cmono_ref,
         for u in range(unroll):
             d = chunk[u * csub:(u + 1) * csub, :]
             # cohere render (cpp:99-118); split filters start from zero
-            lp_a = lp_a + low_c * (d - lp_a)
-            lp_b = lp_b + high_c * (d - lp_b)
+            lp_a = lp_a + low_cc * (d - lp_a)
+            lp_b = lp_b + high_cc * (d - lp_b)
             low_v = lp_a * cc_low
             high_v = (d - lp_b) * cc_high
             mid_v = (d - lp_a - (d - lp_b)) * cc_mid
@@ -902,7 +964,7 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
                  newhist_ref, newwin_ref, cmono_out, ctail_out,
                  bfin_ref, bacc_ref,
                  y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
-                 bwin_ref, bl_ref, dma_sem):
+                 bwin_ref, bl_ref, dma_sem, frows_ref=None, brows_ref=None):
     msub = sk.MSUB
     _front_kernel(mode, n, c, unroll, sr, H, L,
                   fp_ref, lcg_a_ref, lcg_b_ref, widx_ref,
@@ -911,7 +973,8 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
                   hist_ref,
                   x4_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
                   mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
-                  newhist_ref, y1_ref, y2_ref, m0_ref, fwin_ref, dma_sem)
+                  newhist_ref, y1_ref, y2_ref, m0_ref, fwin_ref, dma_sem,
+                  rows_ref=frows_ref)
     # back lane inits, all in the shared 5-row fin format: slot 0 = THIS
     # block's width-pre final (front fin slot 8); slots 1/2 = previous
     # block's cohere/infer POST lanes (prev bfin slots 2/4)
@@ -921,7 +984,7 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
     _back_kernel(n, c, unroll, D,
                  bp_ref, x4_ref, win_ref, cmono_ref, ctail_ref, bl_ref,
                  out_ref, newwin_ref, cmono_out, ctail_out, bfin_ref,
-                 bacc_ref, x5_ref, bwin_ref, dma_sem)
+                 bacc_ref, x5_ref, bwin_ref, dma_sem, rows_ref=brows_ref)
 
 
 
@@ -1136,14 +1199,20 @@ def _back_packers(chain, states0, bsz: int):
 
 
 def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
-                    interpret: bool):
+                    interpret: bool, rows: bool = False):
     """Static setup for the single-call (front+back merged) kernel.
 
     Returns (fpack, bpack, call, funpack, bunpack):
     call(x_tile, ftiles, btiles, prev_ffin, prev_bfin) ->
     (out_tile, ftiles', btiles', cmono_full, ffin, facc, bfin, bacc).
     Lane state threads block-to-block through the fin tiles themselves
-    (seed the first block with _lane_seed_tiles)."""
+    (seed the first block with _lane_seed_tiles).
+
+    `rows=True` builds the PER-STREAM PARAMETER variant: `call` takes two
+    extra inputs (frows, brows — [G, W*MSUB, 128] per-clip parameter-row
+    tiles from `_pvec_row_tiles`) and the kernels read every non-structural
+    pvec entry per-clip. The SMEM pvecs still ride along for the
+    structural scalars (Haas delay, waveguide indices)."""
     msub, tile, lanes_n = sk.MSUB, sk.TILE, sk.LANES
     c, n, sr = chain.channels, chain.block_size, chain.sr
     csub = c * msub
@@ -1165,13 +1234,18 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
     def wrapped(fp_ref, lcg_a_ref, lcg_b_ref, widx_ref, bp_ref,
                 x_ref, pdsp_ref, sdsp_ref, tdsp_ref, tmat_ref, trng_ref,
                 mmono_ref, mchan_ref, mrng_ref, pffin_ref, hist_ref,
-                win_ref, cmono_ref, ctail_ref, pbfin_ref,
-                out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
-                mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
-                newhist_ref, newwin_ref, cmono_out, ctail_out,
-                bfin_ref, bacc_ref,
-                y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
-                bwin_ref, bl_ref, dma_sem):
+                win_ref, cmono_ref, ctail_ref, pbfin_ref, *rest):
+        if rows:
+            frows_ref, brows_ref = rest[0].at[0], rest[1].at[0]
+            rest = rest[2:]
+        else:
+            frows_ref = brows_ref = None
+        (out_ref, pdsp_out, sdsp_out, tdsp_out, tmat_out,
+         mmono_out, mchan_out, mrng_out, ffin_ref, facc_ref,
+         newhist_ref, newwin_ref, cmono_out, ctail_out,
+         bfin_ref, bacc_ref,
+         y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
+         bwin_ref, bl_ref, dma_sem) = rest
         kernel(fp_ref, lcg_a_ref, lcg_b_ref, widx_ref, bp_ref,
                x_ref.at[0], pdsp_ref.at[0], sdsp_ref.at[0], tdsp_ref.at[0],
                tmat_ref.at[0], trng_ref.at[0], mmono_ref.at[0],
@@ -1183,7 +1257,8 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
                facc_ref.at[0], newhist_ref, newwin_ref, cmono_out.at[0],
                ctail_out.at[0], bfin_ref.at[0], bacc_ref.at[0],
                y1_ref, y2_ref, m0_ref, fwin_ref, x4_ref, x5_ref,
-               bwin_ref, bl_ref, dma_sem)
+               bwin_ref, bl_ref, dma_sem, frows_ref=frows_ref,
+               brows_ref=brows_ref)
 
     def smem(w):
         return pl.BlockSpec((1, w), lambda i: (0, 0),
@@ -1191,6 +1266,8 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
 
     ts = sk._tilespec
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    row_specs = ([ts(fpvec.shape[1] * msub), ts(bpvec.shape[1] * msub)]
+                 if rows else [])
     pcall = functools.partial(
         pl.pallas_call, wrapped,
         grid=(grid,),
@@ -1203,7 +1280,7 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
             ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
             ts(msub), ts(45 * msub), anyspec,
             anyspec, ts(5 * msub), ts(csub), ts(25 * msub),
-        ],
+        ] + row_specs,
         out_specs=[
             ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
             ts(nmat * csub), ts(11 * msub), ts(3 * csub), ts(msub),
@@ -1242,7 +1319,9 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         interpret=interpret,
     )
 
-    def call(x_tile, ftiles, btiles, pffin, pbfin, fpv=None, bpv=None):
+    def call(x_tile, ftiles, btiles, pffin, pbfin, fpv=None, bpv=None,
+             frows=None, brows=None):
+        extra = (frows, brows) if rows else ()
         (out, pdsp_f, sdsp_f, tdsp_f, tmat_f, mmono_f, mchan_f, mrng_f,
          ffin, facc, newhist, newwin, cmono_f, ctail_f, bfin,
          bacc) = pcall()(
@@ -1252,7 +1331,7 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
             ftiles["pdsp"], ftiles["sdsp"], ftiles["tdsp"], ftiles["tmat"],
             ftiles["trng"], ftiles["mmono"], ftiles["mchan"],
             ftiles["mrng"], pffin, ftiles["thist"], btiles["win"],
-            btiles["cmono"], btiles["ctail"], pbfin)
+            btiles["cmono"], btiles["ctail"], pbfin, *extra)
         ftiles2 = {"pdsp": pdsp_f, "sdsp": sdsp_f, "tdsp": tdsp_f,
                    "tmat": tmat_f,
                    # draw count per block is static: closed-form LCG jump
@@ -1266,6 +1345,50 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         return out, ftiles2, btiles2, cmono_f, ffin, facc, bfin, bacc
 
     return fpack, bpack, call, funpack, bunpack
+
+
+def _pvec_row_tiles(chain, states0, mode: int, bsz: int, params_rows):
+    """Per-slot parameter rows -> the kernels' per-clip row tiles.
+
+    `params_rows`: one dict per stage with [B]-stacked traced-param leaves
+    (scalar leaves broadcast) — the StreamServer._params shape. Returns
+    (frows [G, FW*MSUB, 128], brows [G, BW*MSUB, 128], full_b), where the
+    tile layout puts pvec entry w at rows w*MSUB..(w+1)*MSUB with clip
+    (g*MSUB + m)*128 + lane at [g, w*MSUB + m, lane] — the same clip
+    mapping as the audio stream tiles (corpus_to_tiles)."""
+    msub, lanes_n = sk.MSUB, sk.LANES
+    grid = bsz // sk.TILE
+    n, sr = chain.block_size, chain.sr
+    full_b = []
+    for plug, rows in zip(chain.plugins, params_rows):
+        fp = plug.full_params(rows)
+        full_b.append({k: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                           (bsz,))
+                       for k, v in fp.items()})
+    fr = jax.vmap(lambda p: _front_pvec(p, states0, sr, mode))(full_b)
+    br = jax.vmap(lambda p: _back_pvec(p, sr, n))(full_b)
+
+    def tiles(v):                     # [B, W] -> [G, W*MSUB, 128]
+        w = v.shape[1]
+        return v.reshape(grid, msub, lanes_n, w).transpose(
+            0, 3, 1, 2).reshape(grid, w * msub, lanes_n)
+
+    return tiles(fr), tiles(br), full_b
+
+
+#: (stage index, param) pairs whose pvec entries are STRUCTURAL on the
+#: kernel rows path — consumed as scalar row/ring indices, so they must be
+#: uniform across the pool (callers fall back to the fused executor when a
+#: slot edits one). Texture knobs in wave modes feed the material consts
+#: that include the waveguide delay, hence the whole stage is structural
+#: there.
+def rows_ineligible_params(chain) -> set:
+    mode = _check_chain(chain)
+    bad = {(4, "haasMs")}
+    if mode in (2, 3):
+        bad |= {(2, k) for k in chain.plugins[2].full_params(
+            chain.params[2])}
+    return bad
 
 
 #: (fin-tile slot holding each plugin's POST lane, which fin tensor) —
@@ -1291,9 +1414,11 @@ def _lane_seed_tiles(an_states, bsz):
 
 
 def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
-                    bsz, n, sr):
+                    bsz, n, sr, params_list=None):
     """Per-block lane finalize: analyzer states advance, metrics emerge.
-    `cohere_cf` is the block's context-fit tile row ([B])."""
+    `cohere_cf` is the block's context-fit tile row ([B]). `params_list`
+    (per-stream rows): full param dicts with [B] leaves — the finalize
+    formulas broadcast them against the [B] metric leaves."""
     from juicy_tpu.runtime.plugin import _default_finalize
 
     lane_map = [
@@ -1316,8 +1441,9 @@ def _finalize_block(chain, an_states, ffin, facc, bfin, bacc, cohere_cf,
         new_an.append(post_state)
         finalize = plug.defn.finalize_metrics or _default_finalize
         carry = {"context_fit": cohere_cf} if i == 5 else None
-        metrics_list.append(finalize(plug.full_params(chain.params[i]),
-                                     pre_m, post_m, carry))
+        fparams = (plug.full_params(chain.params[i]) if params_list is None
+                   else params_list[i])
+        metrics_list.append(finalize(fparams, pre_m, post_m, carry))
     return new_an, metrics_list
 
 
@@ -1449,7 +1575,8 @@ def _finalize_stream(chain, an0, ffin_s, facc_s, bfin_s, bacc_s, cms,
 
 def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
                       block: jnp.ndarray, unroll: int = 16,
-                      interpret: bool = False, layout: str = "bct"):
+                      interpret: bool = False, layout: str = "bct",
+                      params_rows=None):
     """One block [B, C, N] through the whole 7-plugin chain on the kernel
     path. Same contract as runtime.chain_fused.fused_chain_step with
     metrics="blocks": returns (out, new_states, metrics_list).
@@ -1458,7 +1585,17 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     kernel's stream-tile layout [G, N*C*MSUB, 128] (stage_kernels
     .to_stream) — the serving-tick analog of chain_kernel_stream's tile
     corpora: a bridge that assembles its batch in tile layout skips the
-    per-tick device transposes."""
+    per-tick device transposes.
+
+    `params_rows`: PER-STREAM parameters at kernel speed — one dict per
+    stage with [B]-stacked traced-param leaves (StreamServer._params
+    shape; scalar leaves broadcast). Every pvec entry becomes a per-clip
+    (MSUB, 128) tile read inside the kernels, so per-track knobs cost the
+    same VPU ops as shared ones (each reference instance reads its own
+    APVTS atomics, JuicyPunch/PluginProcessor.cpp:74-80). Structural
+    entries must stay uniform — callers keep edits listed by
+    `rows_ineligible_params(chain)` off this path (StreamServer falls
+    back to the vmapped fused executor for those)."""
     mode = _check_chain(chain)
     block = jnp.asarray(block, jnp.float32)
     c = chain.channels
@@ -1487,16 +1624,23 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     sr = chain.sr
     states = list(states)
 
+    rows = params_rows is not None
     fpack, bpack, mcall, funpack, bunpack = _mono_machinery(
-        chain, states, mode, bsz, unroll, interpret)
+        chain, states, mode, bsz, unroll, interpret, rows=rows)
     an_states = [states[i]["analyzer"] for i in range(7)]
 
+    if rows:
+        frows, brows, full_b = _pvec_row_tiles(chain, states, mode, bsz,
+                                               params_rows)
+    else:
+        frows = brows = full_b = None
     ftiles = fpack(states)
     btiles = bpack(states)
     ffin0, bfin0 = _lane_seed_tiles(an_states, bsz)
     x_t = block if layout == "tiles" else sk.to_stream(block)
     (out_t, ftiles, btiles, cmono_full, ffin, facc, bfin,
-     bacc) = mcall(x_t, ftiles, btiles, ffin0, bfin0)
+     bacc) = mcall(x_t, ftiles, btiles, ffin0, bfin0,
+                   frows=frows, brows=brows)
 
     front_dsp = funpack(ftiles, states)
     width_dsp, co_dsp = bunpack(btiles, cmono_full)
@@ -1505,7 +1649,7 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
                 width_dsp, co_dsp, states[6]["dsp"]]
     new_an, metrics_list = _finalize_block(
         chain, an_states, ffin, facc, bfin, bacc, co_dsp["context_fit"],
-        bsz, n, sr)
+        bsz, n, sr, params_list=full_b)
     new_states = [{"analyzer": a, "dsp": d}
                   for a, d in zip(new_an, dsp_list)]
     out = out_t if layout == "tiles" else sk.from_stream(out_t, bsz, c)

@@ -435,11 +435,20 @@ def _mat_state_keys(mode: int):
     return None   # modal materials handled separately
 
 
-def tex_unpack(nextp, mode: int):
+def tex_unpack(nextp, mode: int, nexts=None):
     """Read the texture constants (everything after the 7 lane consts) from
     an SMEM cursor. Returns (kc, mc): the _TEX_COMMON dict and the
     mode-specific consts dict. Shared by the texture stage kernel and the
-    multi-stage chain kernel (chain_kernel.py)."""
+    multi-stage chain kernel (chain_kernel.py).
+
+    `nexts` reads STRUCTURAL entries — values consumed as scalar row/ring
+    indices (the waveguide delay and write index), which must stay SMEM
+    scalars even when `nextp` yields per-clip parameter-row tiles
+    (chain_kernel rows mode). Defaults to `nextp` (the shared-params and
+    per-block-automation paths, where both cursors are the same SMEM row).
+    """
+    if nexts is None:
+        nexts = nextp
     kc = {key: nextp() for key in _TEX_COMMON}
     nm = _TEX_NMODES
     mc = {}
@@ -456,7 +465,7 @@ def tex_unpack(nextp, mode: int):
         mc["a1s"] = nextp(nm)
         mc["a2s"] = nextp(nm)
         mc["gains"] = nextp(nm)
-        mc["delay"] = nextp()
+        mc["delay"] = nexts()
         mc["damp"] = nextp()
         mc["wg_m0"], mc["wg_m1"] = nextp(2)
         mc["exc_s0"], mc["exc_s1"] = nextp(2)

@@ -239,7 +239,7 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     interpreter (CPU tests / the multichip dryrun).
 
     `automation`: optional {stage: {param: [nb] curve}} applied per block
-    corpus-wide (kernel executor only — the host-automation analog;
+    corpus-wide on EITHER executor (the host-automation analog;
     see chain_kernel_stream).
 
     `materials`: optional per-clip texture material indices [B] (each DAW
@@ -304,10 +304,9 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     if use_kernel == "always" and not kernel_ok:
         raise ck.ChainKernelUnsupported(
             "chain/batch layout unsupported by the kernel executor")
-    if automation is not None and not kernel_ok:
-        raise ck.ChainKernelUnsupported(
-            "corpus automation runs on the kernel executor only (needs a "
-            "kernel-supported chain/batch layout)")
+    # automation rides the kernel's per-block pvec rows when eligible and
+    # the fused executor's per-block param xs otherwise — non-canonical
+    # chains (mono, reordered, traced/mixed materials) automate too
 
     if kernel_ok and n_dev > 1:
         # per-shard kernel under shard_map: each device streams its own
@@ -356,7 +355,8 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
         else:
             def stream(chain, states, cs, metrics):
                 return fused_chain_stream(chain, states, cs, metrics=metrics,
-                                          return_audio=return_audio)
+                                          return_audio=return_audio,
+                                          automation=automation)
 
         @jax.jit
         def batched(cs):

@@ -544,7 +544,7 @@ def fused_chain_step(chain: Chain, states: Sequence[Dict[str, Any]],
 
 def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
                        unroll: Optional[int] = 4, params: Sequence = None,
-                       return_audio: bool = True):
+                       return_audio: bool = True, automation=None):
     """Stream a [..., C, T] corpus through the fused chain block-major.
 
     One outer scan over blocks; all stage states ride the carry, so the
@@ -556,6 +556,15 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
     `return_audio=False` (scoring-only mode): per-block outputs are not
     stacked across the scan, so the processed corpus is never written
     back to HBM — `out` is returned as None.
+
+    `automation`: optional {stage index: {param: curve}} with one value
+    per block ([nb] arrays) — same contract as chain_kernel_stream's
+    automation. The per-block param rows ride the scan's xs, so
+    NON-CANONICAL chains (mono, reordered, traced/mixed materials) get
+    host-automation too, not just the kernel executor
+    (the reference host can automate any instance,
+    JuicyPunch/PluginProcessor.cpp:74-80). Mutually exclusive with
+    `params`.
     """
     clips = jnp.asarray(clips, jnp.float32)
     t = clips.shape[-1]
@@ -565,36 +574,64 @@ def fused_chain_stream(chain: Chain, states, clips, metrics: str = "blocks",
     nb = t // n
     blocks = jnp.moveaxis(clips.reshape(clips.shape[:-1] + (nb, n)), -2, 0)
 
+    params_b = None
+    if automation:
+        if params is not None:
+            raise ValueError("pass either params or automation, not both")
+        full = [dict(p.full_params(pr))
+                for p, pr in zip(chain.plugins, chain.params)]
+        for i, curves in automation.items():
+            for k, v in curves.items():
+                if k not in full[int(i)]:
+                    raise KeyError(
+                        f"stage {i} has no parameter {k!r} to automate")
+                v = jnp.asarray(v, jnp.float32)
+                if v.shape != (nb,):
+                    raise ValueError(
+                        f"automation curve for stage {i}:{k} must have "
+                        f"one value per block, shape ({nb},), got "
+                        f"{v.shape}")
+                full[int(i)][k] = v
+        params_b = [{k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (nb,))
+                     for k, v in st.items()} for st in full]
+
+    def step(sts, xs, m):
+        if params_b is None:
+            blk, pr = xs, params
+        else:
+            blk, pr = xs
+        return fused_chain_step(chain, sts, blk, metrics=m, unroll=unroll,
+                                params=pr)
+
+    xs = blocks if params_b is None else (blocks, params_b)
+
     if metrics == "blocks":
-        def scan_step(sts, blk):
-            out, sts, m = fused_chain_step(chain, sts, blk, metrics=metrics,
-                                           unroll=unroll, params=params)
+        def scan_step(sts, x):
+            out, sts, m = step(sts, x, metrics)
             return sts, ((out, m) if return_audio else m)
-        states, ys = jax.lax.scan(scan_step, states, blocks)
+        states, ys = jax.lax.scan(scan_step, states, xs)
         outs, ms = ys if return_audio else (None, ys)
     elif metrics == "final":
         # Analyzer state advances every block exactly as in "blocks" mode;
         # only the last block's metrics survive (threaded through the carry,
         # seeded by running block 0 outside the scan).
-        out0, states, m0 = fused_chain_step(chain, states, blocks[0],
-                                            metrics="blocks", unroll=unroll,
-                                            params=params)
+        xs0 = jax.tree.map(lambda v: v[0], xs)
+        xs_rest = jax.tree.map(lambda v: v[1:], xs)
+        out0, states, m0 = step(states, xs0, "blocks")
 
-        def scan_step(carry, blk):
+        def scan_step(carry, x):
             sts, _ = carry
-            out, sts, m = fused_chain_step(chain, sts, blk, metrics="blocks",
-                                           unroll=unroll, params=params)
+            out, sts, m = step(sts, x, "blocks")
             return (sts, m), (out if return_audio else ())
         (states, ms), outs_rest = jax.lax.scan(scan_step, (states, m0),
-                                               blocks[1:])
+                                               xs_rest)
         outs = (jnp.concatenate([out0[None], outs_rest], axis=0)
                 if return_audio else None)
     else:   # "none"
-        def scan_step(sts, blk):
-            out, sts, _ = fused_chain_step(chain, sts, blk, metrics="none",
-                                           unroll=unroll, params=params)
+        def scan_step(sts, x):
+            out, sts, _ = step(sts, x, "none")
             return sts, (out if return_audio else ())
-        states, outs = jax.lax.scan(scan_step, states, blocks)
+        states, outs = jax.lax.scan(scan_step, states, xs)
         if not return_audio:
             outs = None
         ms = None

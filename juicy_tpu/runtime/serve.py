@@ -15,11 +15,14 @@ go without recompiling or disturbing neighbours. Each slot also carries its
 OWN parameter rows (`set_params` / `set_preset`): the DAW-track analog
 where every track runs the same insert chain with its own knob settings
 (each reference instance reads its own APVTS atomics,
-e.g. JuicyPunch/PluginProcessor.cpp:74-80). While every slot still has the
-default parameters the tick dispatches the shared-params fast path; the
-first per-slot edit switches (one recompile) to a vmapped step with
-parameter rows, and the pool drops back to the fast path — including the
-chain-kernel tick — once every custom-params tenant has closed its stream.
+e.g. JuicyPunch/PluginProcessor.cpp:74-80). Per-slot edits STAY ON THE
+CHAIN-KERNEL TICK: the kernels read every parameter from per-clip pvec
+row tiles (chain_kernel_step(params_rows=...)), so a tenant touching a
+knob costs the pool nothing — the same VPU ops run vector*vector instead
+of scalar*vector. Only STRUCTURAL edits (width haasMs — a scalar window
+row offset — and texture knobs under waveguide materials) drop the pool
+to the vmapped fused executor, and it recovers the kernel tick when those
+tenants close.
 """
 
 from __future__ import annotations
@@ -135,6 +138,18 @@ class StreamServer:
             (self.max_streams, chain.channels, chain.block_size), np.float32)
         self._assembled_sids = np.empty(0, np.int64)
 
+        # per-stream params at kernel speed: edits ride the kernels'
+        # per-clip pvec row tiles unless they touch a STRUCTURAL entry
+        # (width haasMs; texture knobs under waveguide materials), where
+        # the pool falls back to the vmapped fused executor
+        self._rows_ineligible = (ck.rows_ineligible_params(chain)
+                                 if self._kernel_tick else set())
+
+        def _tick_rows_kernel(states, blocks, params):
+            return ck.chain_kernel_step(chain, states, blocks,
+                                        layout="tiles", interpret=_interpret,
+                                        params_rows=params)
+
         if self._kernel_tick and self.mesh is not None:
             # per-shard kernels: each device ticks its own slot shard
             # (same SPMD topology as parallel.corpus.run_corpus_chain) —
@@ -146,8 +161,12 @@ class StreamServer:
             self._tick_shared = jax.jit(shard_map(
                 _tick_shared, mesh=self.mesh, in_specs=P("data"),
                 out_specs=P("data"), check_vma=False))
+            self._tick_rows_kernel = jax.jit(shard_map(
+                _tick_rows_kernel, mesh=self.mesh, in_specs=P("data"),
+                out_specs=P("data"), check_vma=False))
         else:
             self._tick_shared = jax.jit(_tick_shared)
+            self._tick_rows_kernel = jax.jit(_tick_rows_kernel)
 
         def _tick_rows(states, blocks, params):
             def one(st, blk, pr):
@@ -300,16 +319,24 @@ class StreamServer:
     def _device_tick(self, sids):
         """Run one device step over the assembled pool. Returns
         (submitted audio [K, C, N], metrics_list)."""
-        kernel_path = self._kernel_tick and not self._custom_slots
+        if self._custom_slots:
+            edited = set().union(*self._custom_slots.values())
+            kernel_path = (self._kernel_tick
+                           and not (edited & self._rows_ineligible))
+        else:
+            kernel_path = self._kernel_tick
         blocks = (self._pool_to_tiles(self._assembly) if kernel_path
                   else self._assembly)
         jblocks = self._shard(jnp.asarray(blocks))
-        if self._custom_slots:
-            out, self._states, metrics_list = self._tick_rows(
-                self._states, jblocks, self._params)
-        else:
+        if not self._custom_slots:
             out, self._states, metrics_list = self._tick_shared(
                 self._states, jblocks)
+        elif kernel_path:
+            out, self._states, metrics_list = self._tick_rows_kernel(
+                self._states, jblocks, self._params)
+        else:
+            out, self._states, metrics_list = self._tick_rows(
+                self._states, jblocks, self._params)
         out_np = np.asarray(out)
         if kernel_path:
             out_np = self._tiles_to_pool(out_np)

@@ -326,3 +326,58 @@ def test_chain_kernel_step_tiles_layout_matches_bct(rng):
         np.asarray(sk.from_stream(out_t, b, 2)), np.asarray(out_b))
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(
         np.asarray(x), np.asarray(y)), (st_t, ms_t), (st_b, ms_b))
+
+
+@pytest.mark.slow
+def test_chain_kernel_step_params_rows_matches_fused(rng):
+    """PER-STREAM parameter rows on the kernel path (VERDICT r3 item 3):
+    every clip carries its own knob values through the kernels' per-clip
+    pvec tiles; results must match the vmapped fused executor fed the
+    same per-slot params — the DAW per-track-knob analog
+    (JuicyPunch/PluginProcessor.cpp:74-80, one APVTS per instance)."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n = 128, 128
+    chain = _mk(CHAIN, n)
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    states2 = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    blk = jnp.asarray(_clips(rng, b, n))
+
+    # per-slot rows: defaults broadcast, then scatter distinct edits
+    # across stages and slots (incl. cohere learn toggles per slot)
+    rows = [{k: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (b,))
+             for k, v in pr.items()}
+            for pr in chain.params]
+    ed = rng.uniform(0.1, 0.9, b).astype(np.float32)
+    rows[0] = dict(rows[0], punch=jnp.asarray(ed),
+                   clip=jnp.asarray(ed[::-1].copy()))
+    rows[1] = dict(rows[1], drive=jnp.asarray(24.0 * ed),
+                   tone=jnp.asarray(1.0 - ed))
+    rows[2] = dict(rows[2], texture=jnp.asarray(1.0 - ed))
+    rows[3] = dict(rows[3], microvar=jnp.asarray(0.5 * ed))
+    rows[4] = dict(rows[4], width=jnp.asarray(0.4 + ed))
+    rows[5] = dict(rows[5], learn=jnp.asarray(
+        (np.arange(b) % 2).astype(np.float32)))
+    rows[6] = dict(rows[6], trim=jnp.asarray(6.0 * ed - 3.0),
+                   sensitivity=jnp.asarray(0.5 + ed))
+
+    def one(st, x, pr):
+        return fused_chain_step(chain, st, x, params=pr, unroll=1)
+    out_f, st_f, m_f = jax.vmap(one)(
+        states, blk, rows)
+
+    out_k, st_k, m_k = ck.chain_kernel_step(chain, states2, blk, unroll=4,
+                                            interpret=True,
+                                            params_rows=rows)
+    assert residual_dbfs(np.asarray(out_k), np.asarray(out_f)) <= -90.0
+    for i in range(7):
+        assert float(np.max(np.abs(np.asarray(m_k[i]["score"])
+                                   - np.asarray(m_f[i]["score"])))) <= 1e-3
+    # the rows really differentiated the streams
+    o = np.asarray(out_k)
+    assert np.abs(o[0] - o[1]).max() > 1e-3
+    # learn toggles landed per slot: learned targets (init 0.2) moved only
+    # on the odd (learn=1) slots
+    t0 = np.asarray(st_k[5]["dsp"]["target_low"])
+    np.testing.assert_array_equal(t0[0::2], np.float32(0.2))
+    assert np.abs(t0[1::2] - 0.2).max() > 1e-6

@@ -323,3 +323,84 @@ def test_stream_server_kernel_tick_matches_fused(rng):
         np.testing.assert_allclose(scores[0], scores[1], atol=2e-3)
     finally:
         sk.TILE, sk.MSUB = tile, msub
+
+
+@pytest.mark.slow
+def test_stream_server_per_stream_params_stay_on_kernel_tick(rng):
+    """VERDICT r3 item 3: per-slot knob edits ride the chain kernel's
+    per-clip pvec row tiles — the pool must NOT cliff to the fused
+    executor when a tenant touches an eligible knob. Structural edits
+    (width haasMs) still fall back, and closing the editing tenants
+    recovers the shared kernel tick (rows -> kernel round trip,
+    ADVICE r3 item 1)."""
+    import juicy_tpu.kernels.stage_kernels as sk
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    try:
+        stages = [("punch", None), ("saturator", None), ("texture", None),
+                  ("motion", None), ("width", None), ("cohere", None),
+                  ("infer", None)]
+        chain = Chain(stages, sr=SR, channels=2, block_size=128)
+        kserver = StreamServer(chain, max_streams=128, _interpret=True)
+        assert kserver._kernel_tick
+        fserver = StreamServer(chain, max_streams=128)
+        clip_a = make_clip(rng, 2, 128 * 2)
+        clip_b = make_clip(rng, 2, 128 * 2) * 0.6
+
+        calls = {"kernel_rows": 0, "fused_rows": 0, "shared": 0}
+        for name, key in (("_tick_rows_kernel", "kernel_rows"),
+                          ("_tick_rows", "fused_rows"),
+                          ("_tick_shared", "shared")):
+            orig = getattr(kserver, name)
+
+            def spy(*a, _orig=orig, _key=key, **kw):
+                calls[_key] += 1
+                return _orig(*a, **kw)
+            setattr(kserver, name, spy)
+
+        outs, scores = [], []
+        for server in (kserver, fserver):
+            a = server.open_stream()
+            b = server.open_stream()
+            server.set_params(a, "punch", punch=0.85, clip=0.4)
+            server.set_params(b, "infer", trim=-4.0)
+            got_a, got_b, sc = [], [], []
+            for k in range(2):
+                server.submit(a, clip_a[:, k * 128:(k + 1) * 128])
+                server.submit(b, clip_b[:, k * 128:(k + 1) * 128])
+                res = server.tick()
+                got_a.append(res[a]["audio"])
+                got_b.append(res[b]["audio"])
+                sc.append((res[a]["score"], res[b]["score"]))
+            outs.append((np.concatenate(got_a, -1),
+                         np.concatenate(got_b, -1)))
+            scores.append(np.asarray(sc))
+            if server is kserver:
+                # eligible edits stayed on the kernel rows tick
+                assert calls == {"kernel_rows": 2, "fused_rows": 0,
+                                 "shared": 0}
+                # a structural edit (haasMs = scalar window row offset)
+                # falls back to the vmapped fused executor
+                server.set_params(a, "width", haasMs=9.0)
+                server.submit(a, clip_a[:, :128])
+                server.tick()
+                assert calls["fused_rows"] == 1
+                # closing the tenants recovers the shared kernel tick
+                server.close_stream(a)
+                server.close_stream(b)
+                sid = server.open_stream()
+                server.submit(sid, clip_a[:, :128])
+                server.tick()
+                assert calls == {"kernel_rows": 2, "fused_rows": 1,
+                                 "shared": 1}
+                server.close_stream(sid)
+
+        for ka, fa in zip(outs[0], outs[1]):
+            db = residual_dbfs(ka, fa)
+            assert db <= -90.0, f"kernel rows diverge from fused: {db:.1f}"
+        np.testing.assert_allclose(scores[0], scores[1], atol=2e-3)
+        # the edits actually differentiated the streams from defaults
+        assert np.abs(outs[0][0] - outs[0][1]).max() > 1e-4
+    finally:
+        sk.TILE, sk.MSUB = tile, msub
