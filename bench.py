@@ -374,6 +374,165 @@ def bench_realtime_streams(stream_counts=(2048, 4096, 8192, 16384),
     return out
 
 
+def bench_mixed_materials(batch=8192, iters=3):
+    """5-material mixed corpus vs single-material kernel throughput.
+
+    Round-3 grouping padded EVERY material group to the kernel granule —
+    a small mixed corpus wasted most of its compute. Round 4 packs all
+    NONWAVE clips (gel/metal/flesh) into ONE kernel sub-run via the
+    per-lane TEX_PACKED material lane; wave materials still group per
+    material. Scoring mode (return_audio=False), clips device-resident,
+    compile cached — the ratio is device work, the VERDICT r3 item 5 bar
+    is <= 1.3x single-material throughput."""
+    from jax.sharding import Mesh
+    from juicy_tpu.parallel.corpus import run_corpus_chain
+    from juicy_tpu.runtime.plugin import Chain
+
+    single_mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    chain0 = Chain([(n, dict(p or {}, material=0.0) if n == "texture"
+                     else p) for n, p in CHAIN],
+                   sr=SR, channels=CHANNELS, block_size=BLOCK)
+    clips = jnp.asarray(make_batch(batch, CHANNELS, T))
+    mats = (np.arange(batch) % 5).astype(np.int64)   # all five materials
+
+    def timed(fn):
+        fn()                                          # compile/warm
+        best = None
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+        return best
+
+    def run_mixed():
+        _o, ms, agg = run_corpus_chain(
+            chain, clips, materials=mats, mesh=single_mesh,
+            metrics="final", return_audio=False)
+        assert np.isfinite(float(agg["score"]["mean"]))
+
+    def run_single():
+        _o, ms, agg = run_corpus_chain(
+            chain0, clips, mesh=single_mesh, metrics="final",
+            use_kernel="always", return_audio=False)
+        np.asarray(ms[-1]["score"][:1])
+
+    mats_nw = np.take(np.int64([0, 1, 4]), np.arange(batch) % 3)
+
+    def run_nonwave():
+        _o, ms, agg = run_corpus_chain(
+            chain, clips, materials=mats_nw, mesh=single_mesh,
+            metrics="final", return_audio=False)
+        assert np.isfinite(float(agg["score"]["mean"]))
+
+    # the round-3 pain case: a SMALL mixed corpus. Per-material grouping
+    # padded each of the 5 groups to the 1024-clip tile (5120 processed
+    # for 1000 clips — >80% waste); the packed lane folds the three
+    # nonwave groups into one (3072 processed).
+    small = clips[:1000]
+    mats_small = mats[:1000]
+
+    def run_small():
+        _o, ms, agg = run_corpus_chain(
+            chain, small, materials=mats_small, mesh=single_mesh,
+            metrics="final", return_audio=False)
+        assert np.isfinite(float(agg["score"]["mean"]))
+
+    w_single = timed(run_single)
+    w_mixed = timed(run_mixed)
+    w_nonwave = timed(run_nonwave)
+    w_small = timed(run_small)
+    audio_sec = batch * T / SR
+    return {
+        "audio_sec_per_sec_mixed": round(audio_sec / w_mixed, 1),
+        "audio_sec_per_sec_single": round(audio_sec / w_single, 1),
+        "ratio_vs_single": round(w_mixed / w_single, 3),
+        "bar": 1.3,
+        "within_bar": bool(w_mixed / w_single <= 1.3),
+        "batch": batch,
+        "materials": "0-4 even split (nonwave packed, wave grouped)",
+        # nonwave 3-material mix: ONE packed kernel sub-run, no per-material
+        # padding — the pure packed-lane cost over a single material
+        "nonwave_mix": {
+            "audio_sec_per_sec": round(audio_sec / w_nonwave, 1),
+            "ratio_vs_single": round(w_nonwave / w_single, 3),
+        },
+        # small 5-mix corpus (the round-3 >80%-waste case)
+        "small_corpus_1000": {
+            "audio_sec_per_sec": round(1000 * T / SR / w_small, 1),
+            "clips_processed_packed": 3072,
+            "clips_processed_per_material_grouping": 5120,
+        },
+    }
+
+
+def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
+                    rows_at=4096):
+    """END-TO-END serving benchmark: the REAL StreamServer path —
+    submit_many() -> tick_arrays() -> audio out — including host-side
+    batch assembly (one fancy-index scatter + one tile repack), the
+    device step, and the full audio readback. This is the number a host
+    integrator can rely on, unlike bench_realtime_streams, which
+    synthesizes blocks on-device and measures the device step alone.
+
+    `rows_at`: at this K, re-measure with one tenant holding custom knobs
+    (set_params) — the per-stream-rows kernel tick — to show the pool no
+    longer cliffs off the kernel path when a knob is touched.
+
+    In this environment the readback rides a tunnel, so the sustained
+    number is transport-bound at large K; sustained_ms scales ~linearly
+    with the pool's audio bytes (K*C*N*4 per tick)."""
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.serve import StreamServer
+
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    deadline_ms = 1e3 * BLOCK / SR
+    out = {"deadline_ms": round(deadline_ms, 3), "per_k": {}}
+    sustained_max = 0
+
+    def measure(server, sids, label, res):
+        batches = [make_batch(len(sids), CHANNELS, BLOCK, seed=100 + s)
+                   for s in range(4)]
+        for i in range(3):                      # compile + warm
+            server.submit_many(sids, batches[i % 4])
+            server.tick_arrays()
+        times = []
+        for i in range(steps):
+            t0 = time.perf_counter()
+            server.submit_many(sids, batches[i % 4])
+            got_sids, audio, scores, pre = server.tick_arrays()
+            assert audio.shape == (len(sids), CHANNELS, BLOCK)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        res[label] = {
+            "p50_ms": round(1e3 * times[len(times) // 2], 2),
+            "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 2),
+            "streams_per_chip_at_deadline": int(
+                len(sids) * deadline_ms / (1e3 * times[len(times) // 2])),
+        }
+        return times[len(times) // 2]
+
+    for k in stream_counts:
+        server = StreamServer(chain, max_streams=k)
+        sids = np.array([server.open_stream() for _ in range(k)])
+        res = {}
+        p50 = measure(server, sids, "shared", res)
+        if k == rows_at:
+            # one tenant's knobs -> per-stream rows tick (kernel path held)
+            server.set_params(int(sids[0]), "punch", punch=0.9)
+            measure(server, sids, "rows_one_tenant", res)
+            res["kernel_path_held"] = bool(
+                server._kernel_tick and not (
+                    set().union(*server._custom_slots.values())
+                    & server._rows_ineligible))
+        out["per_k"][str(k)] = res
+        if 1e3 * p50 < deadline_ms:
+            sustained_max = k
+    out["streams_sustained_at_deadline_e2e"] = sustained_max
+    return out
+
+
 def main():
     details = {"device": str(jax.devices()[0]), "sr": SR, "channels": CHANNELS}
     if os.path.exists("BENCH_DETAILS.json"):
@@ -484,6 +643,18 @@ def main():
             details["pipelined_latency"] = bench_pipelined_latency()
         except Exception as e:
             details["pipelined_latency"] = {"error": repr(e)}
+        save()
+    if force or "serve_e2e" not in details:
+        try:
+            details["serve_e2e"] = bench_serve_e2e()
+        except Exception as e:
+            details["serve_e2e"] = {"error": repr(e)}
+        save()
+    if force or "mixed_materials" not in details:
+        try:
+            details["mixed_materials"] = bench_mixed_materials()
+        except Exception as e:
+            details["mixed_materials"] = {"error": repr(e)}
         save()
 
     # the headline renders audio (score_only drops the output — a different

@@ -183,9 +183,23 @@ def _check_chain(chain) -> int:
     tex_params = chain.plugins[2].full_params(chain.params[2])
     mode = _texture.static_material(tex_params)
     if mode is None:
+        # traced/mixed materials: NONWAVE mixes ({gel, metal, flesh}) run
+        # as the PACKED per-lane kernel lane (sk.TEX_PACKED); anything
+        # touching a waveguide material runs on the XLA fused executor
+        # (its ring delay is knob-dependent — per-lane row gathers)
+        mat = chain.params[2].get("material")
+        if mat is None or isinstance(mat, jax.core.Tracer):
+            raise ChainKernelUnsupported(
+                "traced-material chain without concrete material values "
+                "cannot select a kernel code path")
+        vals = set(np.unique(np.asarray(
+            jax.device_get(mat)).astype(np.int32)).tolist())
+        if vals <= {0, 1, 4}:
+            return sk.TEX_PACKED
         raise ChainKernelUnsupported(
-            "texture material must be static on the kernel path (traced/"
-            "mixed materials run on the XLA fused executor)")
+            "mixed materials incl. waveguide (wood/plastic) run on the "
+            "XLA fused executor (knob-dependent ring delay cannot pack "
+            "per lane)")
     return max(0, min(4, mode))
 
 
@@ -409,6 +423,10 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
         cp.start()
         cp.wait()
 
+    if mode == sk.TEX_PACKED:
+        # the per-clip mode word rides as material-state leaf 15
+        # (constant; written back unchanged by the packed mat_step)
+        tex_mc = dict(tex_mc, mode_t=tmat_ref[14 * csub:15 * csub, :])
     white_at = sk.make_white_at(lcg_a_ref, lcg_b_ref, trng_ref[...], c, n)
     tex_sample = sk.make_tex_sample(mode, tex_kc, tex_mc, c, window_ref,
                                     H, L)
@@ -1000,7 +1018,10 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
 # stage kernels via finalize_lane).
 # ---------------------------------------------------------------------------
 
-_TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4}
+_TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4,
+             # PACKED nonwave: gel(2) + metal(8) + flesh(4) union states
+             # + the per-clip mode-word tile (leaf 15, passthrough)
+             sk.TEX_PACKED: 15}
 
 
 def _front_pvec(params, states0, sr, mode: int):
@@ -1105,12 +1126,20 @@ def _front_packers(chain, states0, mode: int, bsz: int):
         tdsp = states[2]["dsp"]
         if wave:
             tdsp = sk.texture_kernel_state(tdsp, sr, mode)
+        mat_leaves = sk.tex_mat_leaves(tdsp, mode)
+        if mode == sk.TEX_PACKED:
+            # per-clip mode word (from the traced material param) as the
+            # 15th material-state leaf — constant through the run
+            matv = jnp.broadcast_to(jnp.asarray(
+                chain.params[2]["material"], jnp.float32), (bsz,))
+            mat_leaves = mat_leaves + [
+                jnp.broadcast_to(matv[:, None], (bsz, c))]
         tiles = {
             "pdsp": sk.state_to_tiles([states[0]["dsp"]["fast_env"],
                                        states[0]["dsp"]["slow_env"]]),
             "sdsp": sk.state_to_tiles([states[1]["dsp"]["tone_state"]]),
             "tdsp": sk.state_to_tiles([tdsp[k] for k in sk._TEX_DSP_KEYS]),
-            "tmat": sk.state_to_tiles(sk.tex_mat_leaves(tdsp, mode)),
+            "tmat": sk.state_to_tiles(mat_leaves),
             "trng": sk._u32_to_tiles(jnp.asarray(tdsp["rng"], jnp.uint32)),
             "mmono": sk.motion_mono_tiles(states[3]["dsp"], bsz),
             "mchan": sk.state_to_tiles([states[3]["dsp"]["lp"],
@@ -1388,6 +1417,10 @@ def rows_ineligible_params(chain) -> set:
     if mode in (2, 3):
         bad |= {(2, k) for k in chain.plugins[2].full_params(
             chain.params[2])}
+    if mode == sk.TEX_PACKED:
+        # the mode-word tile bakes from chain.params at machinery build;
+        # per-slot material edits need a fused-rows tick
+        bad |= {(2, "material")}
     return bad
 
 

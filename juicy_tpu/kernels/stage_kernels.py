@@ -415,6 +415,13 @@ _TEX_COMMON = ("tail_shape", "texture", "mix", "out_gain", "decay",
                "wet_atk", "wet_rel", "dc_r", "auto_gain_base", "in_trim",
                "mat_trim")
 _TEX_NMODES = 4
+#: Pseudo-material for the chain kernel's PACKED NONWAVE lane: clips of
+#: materials {0 gel, 1 metal, 4 flesh} share one tile, selected per lane by
+#: a mode-word state tile (the in-kernel analog of
+#: texture._material_substep_traced). Waveguide materials cannot pack —
+#: their ring delay depends on knobs (texture/weight, cpp:174/189), and a
+#: per-lane delay would need per-lane row gathers Mosaic doesn't do.
+TEX_PACKED = 5
 # np scalar: module-level jnp constants are device arrays, which
 # pallas kernels reject as captured consts
 TWO_PI32 = _np.float32(2.0 * 3.14159265358979323846)
@@ -454,6 +461,17 @@ def tex_unpack(nextp, mode: int, nexts=None):
     mc = {}
     if mode == 0:
         mc["omega"], mc["kspring"] = nextp(2)
+    elif mode == TEX_PACKED:
+        # gel + metal + flesh const sets; the per-lane mode word selects
+        mc["omega"], mc["kspring"] = nextp(2)
+        mc["freqs"] = nextp(nm)
+        mc["rs"] = nextp(nm)
+        mc["a2s"] = nextp(nm)
+        mc["gains"] = nextp(nm)
+        mc["hz_cap"] = nextp()
+        mc["sr_f"] = nextp()
+        (mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"],
+         mc["k_couple"]) = nextp(5)
     elif mode == 1:
         mc["freqs"] = nextp(nm)    # f0 * ratios
         mc["rs"] = nextp(nm)       # pole radii (constant: t60s static)
@@ -528,11 +546,97 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
     elif mode == 1:
         freqs, rs, a2s = mc["freqs"], mc["rs"], mc["a2s"]
         gains, hz_cap, sr_f = mc["gains"], mc["hz_cap"], mc["sr_f"]
+    elif mode == TEX_PACKED:
+        omega, kspring = mc["omega"], mc["kspring"]
+        freqs, rs, a2s = mc["freqs"], mc["rs"], mc["a2s"]
+        gains, hz_cap, sr_f = mc["gains"], mc["hz_cap"], mc["sr_f"]
+        k_a, k_b = mc["k_a"], mc["k_b"]
+        c_a, c_b, k_couple = mc["c_a"], mc["c_b"], mc["k_couple"]
+        mode_t = mc["mode_t"]                  # per-lane mode word tile
+        is_gel = mode_t == jnp.float32(0.0)
+        is_metal = mode_t == jnp.float32(1.0)
+        is_flesh = mode_t == jnp.float32(4.0)
+        # per-lane material trims (cpp:117/167): metal 0.58/0.62,
+        # gel/flesh 1.0 (the kc placeholders carry the gel value)
+        from juicy_tpu.models import texture as _texm
+        kc = dict(kc,
+                  in_trim=jnp.where(
+                      is_metal,
+                      jnp.float32(_texm.MATERIAL_INPUT_TRIM[1]), one),
+                  mat_trim=jnp.where(
+                      is_metal, jnp.float32(_texm.MATERIAL_TRIM[1]), one))
     else:
         k_a, k_b = mc["k_a"], mc["k_b"]
         c_a, c_b, k_couple = mc["c_a"], mc["c_b"], mc["k_couple"]
 
     def mat_step(mat, core, impact, body, trail, hp_state, t):
+        if mode == TEX_PACKED:
+            # all three nonwave substeps per sample, selected per lane —
+            # each branch's formulas/order identical to its static-mode
+            # branch below (and to texture._material_substep_traced), so
+            # every lane is bit-identical to a static-material run
+            pos, vel = mat[0], mat[1]
+            y1, y2 = mat[2:2 + nm], mat[2 + nm:2 + 2 * nm]
+            pa, va, pb, vb = mat[2 + 2 * nm:6 + 2 * nm]
+            # gel (cpp:137-151)
+            zeta = jnp.float32(0.62) + trail * (jnp.float32(1.45)
+                                                - jnp.float32(0.62))
+            cdamp = jnp.float32(2.0) * zeta * omega
+            force = core * (jnp.float32(0.52) + jnp.float32(0.62) * body)
+            acc = kspring * (force - pos) - cdamp * vel
+            vel_g = vel + acc
+            pos_g = pos + vel_g
+            shaped_gel = jnp.float32(0.48) * core + jnp.float32(1.85) * pos_g
+            shaped_gel = tanh32(shaped_gel * (jnp.float32(0.96)
+                                              + jnp.float32(0.28)
+                                              * kc["texture"]))
+            # metal (cpp:152-169)
+            from juicy_tpu.ops.precise import cos32
+            exc = core * (jnp.float32(0.19) + jnp.float32(0.52) * impact)
+            bend = one + jnp.float32(0.09) * impact
+            ys = []
+            for k in range(nm):
+                f = freqs[k] * bend
+                f = jnp.where(f < jnp.float32(20.0), jnp.float32(20.0), f)
+                f = jnp.where(hz_cap < f, hz_cap, f)
+                theta = TWO_PI32 * f / sr_f
+                a1 = jnp.float32(2.0) * rs[k] * cos32(theta)
+                ys.append(exc * gains[k] + a1 * y1[k] + a2s[k] * y2[k])
+            modes_sum = ((ys[0] + ys[1]) + ys[2]) + ys[3]
+            bright = jnp.float32(0.03) * impact * (core - hp_state)
+            shaped_metal = (jnp.float32(0.44) * core
+                            + jnp.float32(0.42) * modes_sum + bright) \
+                * (jnp.float32(0.78) + jnp.float32(0.10) * kc["texture"])
+            # flesh (cpp:214-236)
+            force_f = core * (jnp.float32(0.55) + jnp.float32(0.65) * body)
+            acc_a = k_a * (force_f - pa) - c_a * va - k_couple * (pa - pb)
+            acc_b = k_b * (pa - pb) - c_b * vb
+            va_f = va + acc_a
+            vb_f = vb + acc_b
+            pa_f = pa + va_f
+            pb_f = pb + vb_f
+            tissue = jnp.float32(0.92) * pa_f + jnp.float32(0.58) * pb_f
+            nl = tissue - jnp.float32(0.19) * tissue * tissue * tissue
+            shaped_flesh = tanh32((jnp.float32(0.50) * core
+                                   + jnp.float32(1.34) * nl)
+                                  * (jnp.float32(0.98)
+                                     + jnp.float32(0.16) * kc["texture"]))
+            shaped = jnp.where(is_gel, shaped_gel,
+                               jnp.where(is_metal, shaped_metal,
+                                         shaped_flesh))
+            new_mat = ([jnp.where(is_gel, pos_g, pos),
+                        jnp.where(is_gel, vel_g, vel)]
+                       + [jnp.where(is_metal, ys[k], y1[k])
+                          for k in range(nm)]
+                       + [jnp.where(is_metal, y1[k], y2[k])
+                          for k in range(nm)]
+                       + [jnp.where(is_flesh, pa_f, pa),
+                          jnp.where(is_flesh, va_f, va),
+                          jnp.where(is_flesh, pb_f, pb),
+                          jnp.where(is_flesh, vb_f, vb),
+                          mode_t])
+            return shaped, new_mat
+
         if mode == 0:    # gel (cpp:137-151)
             pos, vel = mat
             zeta = jnp.float32(0.62) + trail * (jnp.float32(1.45)
@@ -818,7 +922,12 @@ def tex_param_list(params, dsp, sr: float, mode: int):
 
     wave = mode in (2, 3)
     L = _tex.waveguide_size(sr)
-    kc, _extract, _mstep, _pack = _tex.block_consts(params, sr, mode, L)
+    # PACKED: the shared kc body is material-independent except the
+    # in/mat trims, which the kernel selects per lane from the mode word
+    # (gel/flesh = 1.0, metal = the cpp:117/167 trims); block_consts(0)
+    # supplies the gel/flesh value
+    kc, _extract, _mstep, _pack = _tex.block_consts(
+        params, sr, 0 if mode == TEX_PACKED else mode, L)
     mp = dict(texture=kc["texture"], tailshape=kc["tail_shape"],
               damping_amt=None, damping_mul=None, weight=None)
     # material_consts needs the damping intermediates; rebuild like
@@ -828,19 +937,28 @@ def tex_param_list(params, dsp, sr: float, mode: int):
     mp.update(damping_amt=damping_amt,
               damping_mul=_jm(damping_amt, 1.35, 0.40),
               weight=jnp.asarray(params["weight"], jnp.float32))
-    mc = _tex.material_consts(mode, mp, sr, L)
+    mc = _tex.material_consts(0 if mode == TEX_PACKED else mode, mp, sr, L)
+
+    def metal_pv():
+        from juicy_tpu.ops.precise import exp32
+        mc1 = _tex.material_consts(1, mp, sr, L)
+        freqs = mc1["f0"] * mc1["ratios"]
+        t = jnp.maximum(jnp.float32(0.02), mc1["t60s"])
+        rs = exp32(jnp.float32(np.log(np.float32(0.001)))
+                   / (t * jnp.float32(sr)))
+        return [*freqs, *rs, *(-rs * rs), *mc1["gains"],
+                jnp.float32(0.45 * sr), jnp.float32(sr)]
 
     pv = [kc[k] for k in _TEX_COMMON]
     if mode == 0:
         pv += [mc["omega"], mc["k"]]
+    elif mode == TEX_PACKED:
+        mc4 = _tex.material_consts(4, mp, sr, L)
+        pv += [mc["omega"], mc["k"], *metal_pv(),
+               mc4["k_a"], mc4["k_b"], mc4["c_a"], mc4["c_b"],
+               mc4["k_couple"]]
     elif mode == 1:
-        from juicy_tpu.ops.precise import exp32
-        freqs = mc["f0"] * mc["ratios"]
-        t = jnp.maximum(jnp.float32(0.02), mc["t60s"])
-        rs = exp32(jnp.float32(np.log(np.float32(0.001)))
-                   / (t * jnp.float32(sr)))
-        pv += [*freqs, *rs, *(-rs * rs), *mc["gains"],
-               jnp.float32(0.45 * sr), jnp.float32(sr)]
+        pv += metal_pv()
     elif wave:
         exc_b = ((jnp.float32(0.09), jnp.float32(0.04)) if mode == 2
                  else (mc["exc_in_scale"], jnp.float32(0.0)))
@@ -854,8 +972,18 @@ def tex_param_list(params, dsp, sr: float, mode: int):
 
 
 def tex_mat_leaves(dsp, mode: int):
-    """Material-state leaves ([B, C] each) in kernel mat-tile order."""
+    """Material-state leaves ([B, C] each) in kernel mat-tile order.
+
+    TEX_PACKED: the union of the three nonwave material states (14
+    leaves); the chain-kernel packers append the per-clip mode-word tile
+    as leaf 15."""
     nm = _TEX_NMODES
+    if mode == TEX_PACKED:
+        return ([dsp["spring_pos"], dsp["spring_vel"]]
+                + [dsp["modal_y1"][..., k] for k in range(nm)]
+                + [dsp["modal_y2"][..., k] for k in range(nm)]
+                + [dsp["flesh_pos_a"], dsp["flesh_vel_a"],
+                   dsp["flesh_pos_b"], dsp["flesh_vel_b"]])
     if mode == 0:
         return [dsp["spring_pos"], dsp["spring_vel"]]
     if mode == 1:
@@ -880,6 +1008,16 @@ def tex_rebuild_dsp(dsp, dsp_leaves, mat_out, mode: int, newhist, bsz: int,
     new_dsp = dict(dsp)
     for key, v in zip(_TEX_DSP_KEYS, dsp_leaves):
         new_dsp[key] = v
+    if mode == TEX_PACKED:
+        new_dsp["spring_pos"], new_dsp["spring_vel"] = mat_out[0], mat_out[1]
+        new_dsp["modal_y1"] = jnp.stack(mat_out[2:2 + nm], axis=-1)
+        new_dsp["modal_y2"] = jnp.stack(mat_out[2 + nm:2 + 2 * nm], axis=-1)
+        (new_dsp["flesh_pos_a"], new_dsp["flesh_vel_a"],
+         new_dsp["flesh_pos_b"], new_dsp["flesh_vel_b"]) = \
+            mat_out[2 + 2 * nm:6 + 2 * nm]
+        # mat_out[14] is the mode-word passthrough — not a state leaf
+        new_dsp["rng"] = lcg_advance(dsp["rng"], c * n)
+        return new_dsp
     if mode == 0:
         new_dsp["spring_pos"], new_dsp["spring_vel"] = mat_out
     elif mode == 1:

@@ -10,10 +10,14 @@ psum over ICI).
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
+from functools import partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from juicy_tpu.parallel.mesh import batch_sharding, make_mesh
@@ -92,6 +96,11 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
         return _run_corpus_stage_kernel(plugin, params, clips, mesh, kstep,
                                         _interpret)
 
+    autokey = (None if automation is None
+               else _params_key(automation))
+    prog_key = ("run_corpus", _plugin_key(plugin), _params_key(params),
+                autokey, clips.shape, str(clips.dtype), _mesh_key(mesh))
+
     if automation is not None:
         # automation curves apply per clip; keep the per-clip nesting
         def one_clip(clip):
@@ -100,23 +109,27 @@ def run_corpus(plugin: Plugin, params, clips, mesh: Optional[Mesh] = None,
                                              automation=automation)
             return out, {k: v[-1] for k, v in metrics.items()}
 
-        @jax.jit
-        def batched(cs):
-            out, last = jax.vmap(one_clip)(cs)
-            return out, last, corpus_metrics(last)
-        return batched(clips)
+        def build():
+            @jax.jit
+            def batched(cs):
+                out, last = jax.vmap(one_clip)(cs)
+                return out, last, corpus_metrics(last)
+            return batched
+        return _cached_program(prog_key, build)(clips)
 
     # fast path: batch-major streaming (the scans see the whole batch per
     # sample step instead of nesting per clip — ~3x faster, BASELINE.md)
-    @jax.jit
-    def batched(cs):
-        states = jax.vmap(lambda _: plugin.init_state())(
-            jnp.arange(cs.shape[0]))
-        out, _states, metrics = plugin.batched_run(params, states, cs)
-        last = {k: v[-1] for k, v in metrics.items()}
-        return out, last, corpus_metrics(last)
+    def build():
+        @jax.jit
+        def batched(cs):
+            states = jax.vmap(lambda _: plugin.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, _states, metrics = plugin.batched_run(params, states, cs)
+            last = {k: v[-1] for k, v in metrics.items()}
+            return out, last, corpus_metrics(last)
+        return batched
 
-    return batched(clips)
+    return _cached_program(prog_key, build)(clips)
 
 
 def _run_corpus_stage_kernel(plugin: Plugin, params, clips, mesh: Mesh,
@@ -159,13 +172,18 @@ def _run_corpus_stage_kernel(plugin: Plugin, params, clips, mesh: Mesh,
     else:
         inner = shard_fn
 
-    # aggregation inside the jit (collectives over the sharded batch)
-    @jax.jit
-    def batched(cs):
-        out, last = inner(cs)
-        return out, last, corpus_metrics(last)
+    prog_key = ("stage_kernel", _plugin_key(plugin), _params_key(params),
+                clips.shape, str(clips.dtype), _mesh_key(mesh), interpret)
 
-    return batched(clips)
+    def build():
+        # aggregation inside the jit (collectives over the sharded batch)
+        @jax.jit
+        def batched(cs):
+            out, last = inner(cs)
+            return out, last, corpus_metrics(last)
+        return batched
+
+    return _cached_program(prog_key, build)(clips)
 
 
 def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
@@ -220,6 +238,106 @@ def run_corpus_resumable(plugin: Plugin, params, clips, checkpoint_path: str,
     return scores
 
 
+# ---------------------------------------------------------------------------
+# Corpus program cache. Each run_corpus_chain call used to define a fresh
+# @jax.jit closure, so calling it in a loop (parameter sweeps, the grouped
+# mixed-material runner, benches) re-traced the whole ~nb-block chain scan
+# every call — seconds of host work per call while the device step is
+# milliseconds. The jitted program is cached here instead, keyed on every
+# value that is baked into the trace: the chain's full semantic signature
+# (stage defns, statics, traced sets, concrete param values), the data
+# shape/layout, the mesh, and the runner options. Equivalent chains built
+# fresh (e.g. by the grouped runner per call) hit the same entry.
+# ---------------------------------------------------------------------------
+_CORPUS_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_CORPUS_PROGRAM_CACHE_MAX = 32
+
+
+_HASHABLE = (bool, int, float, str, bytes, type(None))
+#: content-hash memo keyed on array identity: param leaves are reused
+#: across Chain copies (the grouped runner rebuilds chains per call around
+#: the same leaf arrays), so repeat keys skip the device fetch entirely
+_LEAF_HASH_MEMO: OrderedDict = OrderedDict()
+_LEAF_HASH_MEMO_MAX = 4096
+
+
+def _hash_arrays(leaves):
+    """Content-hash a list of array leaves with ONE batched device fetch
+    (a per-leaf jax.device_get would pay a host<->device round trip per
+    param — seconds over a remote tunnel)."""
+    def lookup(v):
+        ent = _LEAF_HASH_MEMO.get(id(v))
+        # the entry holds a strong ref to its leaf, so a live entry's id
+        # cannot have been recycled; the identity check is belt-and-braces
+        return ent[1] if ent is not None and ent[0] is v else None
+
+    out = [lookup(v) for v in leaves]
+    todo = [i for i, h in enumerate(out) if h is None]
+    if todo:
+        fetched = jax.device_get([leaves[i] for i in todo])
+        for i, a in zip(todo, fetched):
+            a = np.asarray(a)
+            h = (a.shape, str(a.dtype),
+                 hashlib.sha1(a.tobytes()).hexdigest())
+            out[i] = h
+            _LEAF_HASH_MEMO[id(leaves[i])] = (leaves[i], h)
+        while len(_LEAF_HASH_MEMO) > _LEAF_HASH_MEMO_MAX:
+            _LEAF_HASH_MEMO.popitem(last=False)
+    return out
+
+
+def _hash_leaf(v):
+    """Hashable token for a param/static leaf (scalars pass through,
+    arrays hash by content)."""
+    if isinstance(v, _HASHABLE):
+        return v
+    return _hash_arrays([v])[0]
+
+
+def _params_key(d):
+    items = sorted(d.items())
+    arr = [(k, v) for k, v in items if not isinstance(v, _HASHABLE)]
+    hashes = dict(zip((k for k, _ in arr),
+                      _hash_arrays([v for _, v in arr])))
+    return tuple((k, hashes.get(k, v if isinstance(v, _HASHABLE) else None))
+                 for k, v in items)
+
+
+def _plugin_key(plug):
+    """A plugin's semantic signature. ``id(defn)`` is conservative (an
+    equivalent defn object misses the cache — never aliases distinct
+    user-defined stages)."""
+    return (plug.defn.name, id(plug.defn), float(plug.sr),
+            int(plug.channels), int(plug.block_size),
+            tuple(sorted(plug._traced)), _params_key(plug._static))
+
+
+def _mesh_key(mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.devices.shape,
+            tuple(mesh.axis_names))
+
+
+def _chain_key(chain):
+    """The chain's semantic signature: everything of it that lands in a
+    corpus trace."""
+    stages = tuple((_plugin_key(plug), _params_key(params))
+                   for plug, params in zip(chain.plugins, chain.params))
+    return (float(chain.sr), int(chain.channels), int(chain.block_size),
+            stages)
+
+
+def _cached_program(key, build):
+    fn = _CORPUS_PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _CORPUS_PROGRAM_CACHE[key] = fn
+        while len(_CORPUS_PROGRAM_CACHE) > _CORPUS_PROGRAM_CACHE_MAX:
+            _CORPUS_PROGRAM_CACHE.popitem(last=False)
+    else:
+        _CORPUS_PROGRAM_CACHE.move_to_end(key)
+    return fn
+
+
 def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                      metrics: str = "final", use_kernel: str = "auto",
                      automation=None, materials=None,
@@ -259,6 +377,11 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     and the returned audio stays in it — the device-side corpus
     transposes are skipped. Kernel executor only (raises otherwise);
     mixed `materials` grouping needs clip-major data and is unsupported.
+
+    The jitted corpus program is cached module-wide keyed on the chain's
+    full semantic signature + data shape + mesh + options, so calling this
+    in a loop (sweeps, the grouped mixed-material runner) costs tracing
+    once — later calls are pure device dispatch.
 
     Returns (out [B, C, T] or None, per-stage final metrics list, corpus
     aggregates of the last stage's metrics).
@@ -308,6 +431,13 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
     # the fused executor's per-block param xs otherwise — non-canonical
     # chains (mono, reordered, traced/mixed materials) automate too
 
+    autokey = (None if automation is None else tuple(
+        (s, _params_key(p)) for s, p in sorted(automation.items())))
+    prog_key = (_chain_key(chain), clips.shape, str(clips.dtype),
+                tuple(d.id for d in mesh.devices.flat), mesh.devices.shape,
+                tuple(mesh.axis_names), metrics, kernel_ok, autokey,
+                return_audio, layout, _interpret)
+
     if kernel_ok and n_dev > 1:
         # per-shard kernel under shard_map: each device streams its own
         # clip shard; metrics leaves concatenate on the batch axis
@@ -328,20 +458,24 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                  else P("data"))
         mspec = P(None, "data") if metrics == "blocks" else P("data")
         ospec = (dspec, mspec) if return_audio else mspec
-        sharded = shard_map(shard_fn, mesh=mesh, in_specs=dspec,
-                            out_specs=ospec, check_vma=False)
 
         # aggregate INSIDE the jit: the corpus means become XLA
         # collectives over the sharded batch, and no eager dispatch ever
         # touches the shard_map outputs
-        @jax.jit
-        def batched(cs):
-            res = sharded(cs)
-            out, ms = res if return_audio else (None, res)
-            agg = corpus_metrics(ms[-1]) if ms is not None else None
-            return (out, ms, agg) if return_audio else (ms, agg)
+        def build():
+            sharded = shard_map(shard_fn, mesh=mesh, in_specs=dspec,
+                                out_specs=ospec, check_vma=False)
 
-        res = batched(clips)
+            @jax.jit
+            def batched(cs):
+                res = sharded(cs)
+                out, ms = res if return_audio else (None, res)
+                agg = corpus_metrics(ms[-1]) if ms is not None else None
+                return (out, ms, agg) if return_audio else (ms, agg)
+
+            return batched
+
+        res = _cached_program(prog_key, build)(clips)
         out, ms, agg = res if return_audio else (None, *res)
     else:
         if kernel_ok:
@@ -358,18 +492,48 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
                                           return_audio=return_audio,
                                           automation=automation)
 
-        @jax.jit
-        def batched(cs):
-            bsz = (cs.shape[1] * sk.TILE if layout == "tiles"
-                   else cs.shape[0])
-            states = jax.vmap(lambda _: chain.init_state())(jnp.arange(bsz))
-            out, _st, ms = stream(chain, states, cs, metrics=metrics)
-            agg = corpus_metrics(ms[-1]) if ms is not None else None
-            return (out, ms, agg) if return_audio else (ms, agg)
+        def build():
+            @jax.jit
+            def batched(cs):
+                bsz = (cs.shape[1] * sk.TILE if layout == "tiles"
+                       else cs.shape[0])
+                states = jax.vmap(lambda _: chain.init_state())(
+                    jnp.arange(bsz))
+                out, _st, ms = stream(chain, states, cs, metrics=metrics)
+                agg = corpus_metrics(ms[-1]) if ms is not None else None
+                return (out, ms, agg) if return_audio else (ms, agg)
 
-        res = batched(clips)
+            return batched
+
+        res = _cached_program(prog_key, build)(clips)
         out, ms, agg = res if return_audio else (None, *res)
     return out, ms, agg
+
+
+def _chain_with_traced_materials(chain, mats):
+    """A shallow Chain copy whose texture stage carries a TRACED per-clip
+    material row ([B] values in {0, 1, 4}) — the chain kernel runs it as
+    the PACKED per-lane material lane (stage_kernels.TEX_PACKED)."""
+    new = object.__new__(type(chain))
+    new.__dict__.update({k: v for k, v in chain.__dict__.items()
+                         if k != "jit_step"})
+    new.plugins = list(chain.plugins)
+    new.params = list(chain.params)
+    for i, plug in enumerate(new.plugins):
+        if plug.defn.name == "texture":
+            new.plugins[i] = Plugin(plug.defn, plug.sr, plug.channels,
+                                    plug.block_size,
+                                    static={k: v for k, v in
+                                            plug._static.items()
+                                            if k != "material"}
+                                    ).with_traced("material")
+            # host-side np row: hashable for the program cache without a
+            # device round-trip (jit converts it at trace time)
+            new.params[i] = dict(
+                {k: v for k, v in new.params[i].items() if k != "material"},
+                material=np.asarray(mats, np.float32))
+            return new
+    raise ValueError("chain has no texture stage to pack materials for")
 
 
 def _chain_with_material(chain, material: int):
@@ -392,6 +556,38 @@ def _chain_with_material(chain, material: int):
                              if k != "material"}
             return new
     raise ValueError("chain has no texture stage to group by material")
+
+
+@partial(jax.jit, static_argnames=("lens", "baxis", "nclips", "out_shape",
+                                   "treedef"))
+def _grouped_scatter(idxs, g_outs, ms_leaves, *, lens, baxis, nclips,
+                     out_shape, treedef):
+    """Reassemble grouped sub-run audio/metrics into corpus order — one
+    compiled device dispatch (index-update scatters + in-jit aggregation)
+    instead of per-leaf host round trips. Padding lanes (`lens[g]:`) never
+    reach the output or the aggregates."""
+    out = None
+    if out_shape is not None:
+        out = jnp.zeros(out_shape, g_outs[0].dtype)
+        for ix, g, n in zip(idxs, g_outs, lens):
+            out = out.at[ix].set(g[:n])
+    ms = agg = None
+    if ms_leaves:
+        full_leaves = []
+        for j in range(len(ms_leaves[0])):
+            leaves = [grp[j] for grp in ms_leaves]
+            shape = list(leaves[0].shape)
+            shape[baxis] = nclips
+            full = jnp.zeros(shape, leaves[0].dtype)
+            for ix, leaf, n in zip(idxs, leaves, lens):
+                if baxis == 0:
+                    full = full.at[ix].set(leaf[:n])
+                else:
+                    full = full.at[:, ix].set(leaf[:, :n])
+            full_leaves.append(full)
+        ms = jax.tree.unflatten(treedef, full_leaves)
+        agg = corpus_metrics(ms[-1])
+    return out, ms, agg
 
 
 def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
@@ -424,47 +620,60 @@ def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
                            _chain_with_material(chain, int(values[0]))))
     granule = n_dev * sk.TILE if kernel_possible else n_dev
 
-    out = np.zeros(clips.shape, np.float32) if return_audio else None
-    ms_groups = []       # (corpus indices, per-stage metrics) per group
-    for v in np.unique(values):
-        idx = np.nonzero(values == v)[0]
+    # NONWAVE materials ({0 gel, 1 metal, 4 flesh}) PACK into one
+    # kernel sub-run: the chain kernel's TEX_PACKED lane selects the
+    # material per clip lane (kernels/stage_kernels.py), so a mixed
+    # nonwave corpus pays ONE launch and at most `granule`-1 padding
+    # clips TOTAL instead of per material — the per-track-material
+    # reference analog (JuicyTexture/PluginProcessor.cpp:325-337) at
+    # kernel speed. Waveguide materials still group per material (their
+    # ring delay is knob-dependent; see stage_kernels.TEX_PACKED).
+    nonwave = np.isin(values, (0, 1, 4))
+    group_list = []
+    if (kernel_possible and nonwave.sum()
+            and np.unique(values[nonwave]).size > 1):
+        group_list.append(("packed", np.nonzero(nonwave)[0]))
+        rest = np.unique(values[~nonwave])
+    else:
+        rest = np.unique(values)
+    group_list += [(int(v), np.nonzero(values == v)[0]) for v in rest]
+
+    runs = []        # (corpus idx row, device g_out, device g_ms) per group
+    for v, idx in group_list:
         sub = jnp.take(clips, jnp.asarray(idx), axis=0)
         pad = (-len(idx)) % granule
         if pad:
             sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
-        gchain = _chain_with_material(chain, int(v))
+        if v == "packed":
+            mats = np.zeros(len(idx) + pad, np.float32)   # pad = gel lanes
+            mats[:len(idx)] = values[idx]
+            gchain = _chain_with_traced_materials(chain, mats)
+        else:
+            gchain = _chain_with_material(chain, int(v))
         g_out, g_ms, _agg = run_corpus_chain(
             gchain, sub, mesh=mesh, metrics=metrics, use_kernel=use_kernel,
             automation=automation, return_audio=return_audio,
             _interpret=_interpret)
-        if return_audio:
-            out[idx] = np.asarray(jax.device_get(g_out))[:len(idx)]
-        if g_ms is not None:
-            baxis = 1 if metrics == "blocks" else 0
-            g_ms = jax.tree.map(
-                lambda a: np.asarray(jax.device_get(a)).take(
-                    range(len(idx)), axis=baxis), g_ms)
-            ms_groups.append((idx, g_ms))
+        runs.append((idx, g_out, g_ms))
 
-    ms = None
-    if ms_groups:
-        baxis = 1 if metrics == "blocks" else 0
-        template = ms_groups[0][1]
-
-        def scatter(*leaves):
-            shape = list(leaves[0].shape)
-            shape[baxis] = clips.shape[0]
-            full = np.zeros(shape, leaves[0].dtype)
-            for (idx, _), leaf in zip(ms_groups, leaves):
-                if baxis == 0:
-                    full[idx] = leaf
-                else:
-                    full[:, idx] = leaf
-            return jnp.asarray(full)
-
-        ms = jax.tree.map(scatter, template,
-                          *[g for _, g in ms_groups[1:]])
-    agg = corpus_metrics(ms[-1]) if ms is not None else None
-    if return_audio:
-        out = jnp.asarray(out)
+    # ONE jitted scatter reassembles corpus order ON DEVICE and computes
+    # the aggregate in-jit (cached by jax.jit on shapes/statics, so repeat
+    # mixed-corpus calls are pure dispatch). The previous host-side staging
+    # paid a tunnel round trip per metric leaf per group (~270 eager RPCs
+    # per call — seconds over a remote link, while the device work is
+    # hundreds of milliseconds).
+    has_ms = runs[0][2] is not None
+    if not return_audio and not has_ms:
+        return None, None, None
+    idxs = tuple(jnp.asarray(idx, jnp.int32) for idx, _, _ in runs)
+    out, ms, agg = _grouped_scatter(
+        idxs,
+        tuple(g for _, g, _ in runs) if return_audio else (),
+        tuple(tuple(jax.tree.leaves(g)) for _, _, g in runs)
+        if has_ms else (),
+        lens=tuple(len(idx) for idx, _, _ in runs),
+        baxis=1 if metrics == "blocks" else 0,
+        nclips=int(clips.shape[0]),
+        out_shape=tuple(clips.shape) if return_audio else None,
+        treedef=jax.tree.structure(runs[0][2]) if has_ms else None)
     return out, ms, agg

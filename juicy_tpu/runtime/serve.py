@@ -251,6 +251,34 @@ class StreamServer:
 
     # -- the serving loop --------------------------------------------------
 
+    def warmup(self, rows: bool = True) -> None:
+        """Compile every tick program this pool can dispatch, BEFORE the
+        serving loop starts. Full-chain compiles run 50–170 s cold
+        (BENCH_DETAILS.json compile_s; the persistent compilation cache
+        makes repeats fast) — without warmup the FIRST tick, and the first
+        tick after a tenant flips the pool between the shared-params and
+        per-stream-rows paths (set_params on a clean pool, or the last
+        custom tenant closing), eats that compile inside a 10.67 ms
+        deadline. Warms the shared path, the per-stream-rows path(s)
+        (`rows=False` skips them), and — when a rows-ineligible edit could
+        force it — the fused fallback. Slot states are not advanced."""
+        zeros = np.zeros_like(self._assembly)
+        tiles = self._pool_to_tiles(zeros) if self._kernel_tick else zeros
+
+        def run(fn, blocks, *extra):
+            out, _st, _ms = fn(self._states, self._shard(jnp.asarray(blocks)),
+                               *extra)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])  # force completion
+
+        run(self._tick_shared, tiles)
+        if rows:
+            if self._kernel_tick:
+                run(self._tick_rows_kernel, tiles, self._params)
+                if self._rows_ineligible:
+                    run(self._tick_rows, zeros, self._params)
+            else:
+                run(self._tick_rows, zeros, self._params)
+
     def submit(self, sid: int, block: np.ndarray) -> None:
         """Stage one [C, N] block for stream `sid` for the next tick."""
         if sid not in self._active:

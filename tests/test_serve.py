@@ -40,6 +40,32 @@ def test_stream_server_matches_solo_run(rng):
         assert res_db <= -95.0, f"served stream diverges: {res_db:.1f} dBFS"
 
 
+def test_stream_server_warmup(rng):
+    """warmup() pre-compiles every tick path without advancing slot state:
+    a warmed server's first tick matches an unwarmed one's exactly, on
+    both the shared and the per-stream-rows paths."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    warmed = StreamServer(chain, max_streams=2)
+    cold = StreamServer(chain, max_streams=2)
+    warmed.warmup()
+    clip = make_clip(rng, 2, BLOCK)
+
+    a_w, a_c = warmed.open_stream(), cold.open_stream()
+    warmed.submit(a_w, clip)
+    cold.submit(a_c, clip)
+    np.testing.assert_array_equal(warmed.tick()[a_w]["audio"],
+                                  cold.tick()[a_c]["audio"])
+
+    # a knob edit flips both pools to the rows path — already compiled on
+    # the warmed one; results still identical
+    warmed.set_params(a_w, "punch", punch=0.9)
+    cold.set_params(a_c, "punch", punch=0.9)
+    warmed.submit(a_w, clip)
+    cold.submit(a_c, clip)
+    np.testing.assert_array_equal(warmed.tick()[a_w]["audio"],
+                                  cold.tick()[a_c]["audio"])
+
+
 def test_stream_server_slot_recycling(rng):
     """Closing a stream frees its slot; reopening resets state (a new tenant
     does not inherit the previous stream's envelopes)."""
