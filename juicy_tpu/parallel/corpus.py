@@ -638,6 +638,19 @@ def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
         rest = np.unique(values)
     group_list += [(int(v), np.nonzero(values == v)[0]) for v in rest]
 
+    # whole-corpus single group in original order (an all-nonwave mix, or
+    # a degenerate single-material row): dispatch DIRECTLY — no gather, no
+    # padding, no scatter program, aggregation stays in the sub-run's jit
+    if len(group_list) == 1 and clips.shape[0] % granule == 0:
+        v, idx = group_list[0]
+        gchain = (_chain_with_traced_materials(chain,
+                                               values.astype(np.float32))
+                  if v == "packed" else _chain_with_material(chain, int(v)))
+        return run_corpus_chain(
+            gchain, clips, mesh=mesh, metrics=metrics,
+            use_kernel=use_kernel, automation=automation,
+            return_audio=return_audio, _interpret=_interpret)
+
     runs = []        # (corpus idx row, device g_out, device g_ms) per group
     for v, idx in group_list:
         sub = jnp.take(clips, jnp.asarray(idx), axis=0)
