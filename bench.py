@@ -482,7 +482,10 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
 
     In this environment the readback rides a tunnel, so the sustained
     number is transport-bound at large K; sustained_ms scales ~linearly
-    with the pool's audio bytes (K*C*N*4 per tick)."""
+    with the pool's audio bytes per tick. The transport-engineering tiers
+    are measured separately per K: `i16` (wire="i16" — PCM16 both ways,
+    half the bytes), `async` (tick_arrays_async pipelined depth 2 — tick
+    k's readback overlaps tick k+1's compute), and `i16_async` (both)."""
     from juicy_tpu.runtime.plugin import Chain
     from juicy_tpu.runtime.serve import StreamServer
 
@@ -491,9 +494,16 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
     out = {"deadline_ms": round(deadline_ms, 3), "per_k": {}}
     sustained_max = 0
 
-    def measure(server, sids, label, res):
-        batches = [make_batch(len(sids), CHANNELS, BLOCK, seed=100 + s)
+    def wire_batches(server, k):
+        batches = [make_batch(k, CHANNELS, BLOCK, seed=100 + s)
                    for s in range(4)]
+        if server.wire == "i16":    # integrator fast path: PCM in, as-is
+            batches = [np.clip(np.round(b * 32768.0), -32768, 32767)
+                       .astype(np.int16) for b in batches]
+        return batches
+
+    def measure(server, sids, label, res):
+        batches = wire_batches(server, len(sids))
         for i in range(3):                      # compile + warm
             server.submit_many(sids, batches[i % 4])
             server.tick_arrays()
@@ -513,11 +523,38 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
         }
         return times[len(times) // 2]
 
+    def measure_async(server, sids, label, res, depth=2):
+        batches = wire_batches(server, len(sids))
+        handles = []
+        for i in range(3):                      # compile + warm the pipe
+            server.submit_many(sids, batches[i % 4])
+            handles.append(server.tick_arrays_async())
+        while handles:
+            handles.pop(0).result()
+        t0 = time.perf_counter()
+        for i in range(steps):
+            server.submit_many(sids, batches[i % 4])
+            handles.append(server.tick_arrays_async())
+            if len(handles) >= depth:
+                got_sids, audio, _s, _p = handles.pop(0).result()
+                assert audio.shape == (len(sids), CHANNELS, BLOCK)
+        while handles:
+            handles.pop(0).result()
+        sustained = (time.perf_counter() - t0) / steps
+        res[label] = {
+            "sustained_ms": round(1e3 * sustained, 2),
+            "depth": depth,
+            "streams_per_chip_at_deadline": int(
+                len(sids) * deadline_ms / (1e3 * sustained)),
+        }
+        return sustained
+
     for k in stream_counts:
         server = StreamServer(chain, max_streams=k)
         sids = np.array([server.open_stream() for _ in range(k)])
         res = {}
         p50 = measure(server, sids, "shared", res)
+        measure_async(server, sids, "async", res)
         if k == rows_at:
             # one tenant's knobs -> per-stream rows tick (kernel path held)
             server.set_params(int(sids[0]), "punch", punch=0.9)
@@ -526,6 +563,12 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
                 server._kernel_tick and not (
                     set().union(*server._custom_slots.values())
                     & server._rows_ineligible))
+        del server
+        i16 = StreamServer(chain, max_streams=k, wire="i16")
+        sids = np.array([i16.open_stream() for _ in range(k)])
+        measure(i16, sids, "i16", res)
+        p50 = min(p50, measure_async(i16, sids, "i16_async", res))
+        del i16
         out["per_k"][str(k)] = res
         if 1e3 * p50 < deadline_ms:
             sustained_max = k

@@ -23,6 +23,13 @@ of scalar*vector. Only STRUCTURAL edits (width haasMs — a scalar window
 row offset — and texture knobs under waveguide materials) drop the pool
 to the vmapped fused executor, and it recovers the kernel tick when those
 tenants close.
+
+Host-path engineering for the tick itself: submit()/submit_many() write
+straight into a persistent slot-major pool buffer (no per-tick staging
+dict or re-stack), `wire="i16"` moves 16-bit PCM over the host<->device
+link with f32 processing on device (half the transfer bytes — the
+transport is usually what bounds per-tick wall), and tick_arrays_async()
+pipelines ticks so tick k's readback overlaps tick k+1's compute.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ from juicy_tpu.runtime.plugin import Chain
 class StreamServer:
     def __init__(self, chain: Chain, max_streams: int,
                  metrics: str = "blocks", stage_metrics: str = "last",
-                 mesh=None, _interpret: bool = False):
+                 mesh=None, wire: str = "f32", _interpret: bool = False):
         """`stage_metrics`: "last" returns the final stage's score per tick
         (cheapest host transfer); "all" returns every stage's metric dict
         per stream (the full meter-rail view).
@@ -48,11 +55,30 @@ class StreamServer:
         `mesh`: an optional `jax.sharding.Mesh` with a ``data`` axis — the
         slot pool is sharded over it, scaling the serving capacity linearly
         with chips (each tick is one SPMD dispatch; the hot path is
-        slot-parallel so no collective rides the tick)."""
+        slot-parallel so no collective rides the tick).
+
+        `wire`: host<->device audio transport format. "f32" (default)
+        moves float32 blocks both ways; "i16" moves 16-bit PCM (scale
+        32768) and converts on DEVICE inside the tick's jit — the
+        processing itself stays float32, only the wire is quantized.
+        Halves transfer bytes in both directions, which directly halves
+        per-tick wall on transport-bound links (remote tunnels; PCIe at
+        large pools). submit()/submit_many() then accept int16 blocks
+        as-is (floats are quantized on the host), and tick audio comes
+        back int16. Fidelity: each wire crossing adds ≤0.5 LSB (the
+        −96 dBFS PCM16 floor), but the INPUT quantization then rides the
+        chain's gain — measured ~−68 dBFS end-to-end vs an f32 wire on a
+        hot transient chain (punch+saturator presets). Right for
+        metering/monitoring rails and transport-bound serving; use "f32"
+        when delivering mastering-grade audio."""
         self.chain = chain
         self.max_streams = int(max_streams)
         self.metrics = metrics
         self.stage_metrics = stage_metrics
+        if wire not in ("f32", "i16"):
+            raise ValueError(f"wire must be 'f32' or 'i16', got {wire!r}")
+        self.wire = wire
+        self._wire_np = np.int16 if wire == "i16" else np.float32
         self.mesh = mesh if (mesh is not None
                              and mesh.devices.size > 1) else None
         if self.mesh is not None and self.max_streams % self.mesh.devices.size:
@@ -61,7 +87,6 @@ class StreamServer:
                 f"mesh's {self.mesh.devices.size} devices")
         self._free = list(range(self.max_streams))[::-1]
         self._active: Dict[int, bool] = {}
-        self._pending: Dict[int, np.ndarray] = {}
         self._fresh = chain.init_state()             # single-slot template
         self._states = jax.vmap(lambda _: chain.init_state())(
             jnp.arange(self.max_streams))
@@ -130,13 +155,17 @@ class StreamServer:
             # [C, N] -> tile-row index pattern for one slot (lane fixed)
             self._tile_rows = ((np.arange(n)[None, :] * c
                                 + np.arange(c)[:, None]) * msub)
-        # persistent assembly pool: the tick scatters submitted blocks into
-        # slot-major [S, C, N] with ONE fancy-index write, then repacks the
-        # whole pool to kernel-tile layout with ONE transpose (the
-        # corpus_to_tiles mapping) — no per-slot Python loop in the tick
+        # persistent assembly pool: submit()/submit_many() write INTO this
+        # slot-major [S, C, N] buffer directly (a fancy-index write per
+        # call — no per-tick dict staging or re-stack), then the tick
+        # repacks the whole pool to kernel-tile layout with ONE transpose
+        # (the corpus_to_tiles mapping) — no per-slot Python loop anywhere
         self._assembly = np.zeros(
-            (self.max_streams, chain.channels, chain.block_size), np.float32)
+            (self.max_streams, chain.channels, chain.block_size),
+            self._wire_np)
         self._assembled_sids = np.empty(0, np.int64)
+        self._staged: set = set()     # sids written since the last tick
+        self._inflight: list = []     # tick_arrays_async pipeline queue
 
         # per-stream params at kernel speed: edits ride the kernels'
         # per-clip pvec row tiles unless they touch a STRUCTURAL entry
@@ -149,6 +178,24 @@ class StreamServer:
             return ck.chain_kernel_step(chain, states, blocks,
                                         layout="tiles", interpret=_interpret,
                                         params_rows=params)
+
+        def _wire_fn(fn):
+            """i16 wire: decode PCM16 -> f32 on entry, encode on exit —
+            both INSIDE the tick's jit so XLA fuses the casts into the
+            step and the tunnel only ever carries 2-byte samples."""
+            if wire != "i16":
+                return fn
+
+            def wrapped(states, blocks, *extra):
+                x = blocks.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+                out, st, ml = fn(states, x, *extra)
+                pcm = jnp.clip(jnp.round(out * 32768.0),
+                               -32768.0, 32767.0).astype(jnp.int16)
+                return pcm, st, ml
+            return wrapped
+
+        _tick_shared = _wire_fn(_tick_shared)
+        _tick_rows_kernel = _wire_fn(_tick_rows_kernel)
 
         if self._kernel_tick and self.mesh is not None:
             # per-shard kernels: each device ticks its own slot shard
@@ -173,7 +220,7 @@ class StreamServer:
                 return fused_chain_step(chain, st, blk,
                                         metrics=self.metrics, params=pr)
             return jax.vmap(one)(states, blocks, params)
-        self._tick_rows = jax.jit(_tick_rows)
+        self._tick_rows = jax.jit(_wire_fn(_tick_rows))
 
     # -- stream lifecycle --------------------------------------------------
 
@@ -192,7 +239,9 @@ class StreamServer:
         if sid not in self._active:       # double close / never-opened sid
             raise KeyError(f"stream {sid} is not open")
         self._active.pop(sid, None)
-        self._pending.pop(sid, None)
+        if sid in self._staged:           # staged but never ticked: keep the
+            self._staged.discard(sid)     # pool clean (every row outside
+            self._assembly[sid] = 0       # staged|assembled must be silence)
         self._reset_params(sid)
         self._free.append(sid)
 
@@ -279,50 +328,61 @@ class StreamServer:
             else:
                 run(self._tick_rows, zeros, self._params)
 
+    def _to_wire(self, a: np.ndarray) -> np.ndarray:
+        """Convert a host block to the pool's wire dtype. i16 wire accepts
+        int16 as-is (zero-copy path for PCM sources) and quantizes floats
+        with the same round/clip the device-side encoder uses."""
+        if self.wire == "i16":
+            if a.dtype == np.int16:
+                return a
+            return np.clip(np.round(np.asarray(a, np.float32) * 32768.0),
+                           -32768.0, 32767.0).astype(np.int16)
+        return np.asarray(a, np.float32)
+
     def submit(self, sid: int, block: np.ndarray) -> None:
-        """Stage one [C, N] block for stream `sid` for the next tick."""
+        """Stage one [C, N] block for stream `sid` for the next tick.
+        Writes straight into the persistent slot-major pool buffer — no
+        per-tick dict staging or re-stack."""
         if sid not in self._active:
             raise KeyError(f"stream {sid} is not open")
-        block = np.asarray(block, np.float32)
+        block = np.asarray(block)
         expected = (self.chain.channels, self.chain.block_size)
         if block.shape != expected:
             raise ValueError(f"block shape {block.shape} != expected "
                              f"(channels, block_size) = {expected}")
-        self._pending[sid] = block
+        self._assembly[sid] = self._to_wire(block)
+        self._staged.add(sid)
 
     def submit_many(self, sids, blocks) -> None:
         """Bulk submit: `sids` [K] stream ids, `blocks` [K, C, N] — the
-        host-integrator fast path (one call per tick instead of K)."""
+        host-integrator fast path (one fancy-index write per tick instead
+        of K calls)."""
         sids = np.asarray(sids, np.int64)
-        blocks = np.asarray(blocks, np.float32)
+        blocks = np.asarray(blocks)
         expected = (len(sids), self.chain.channels, self.chain.block_size)
         if blocks.shape != expected:
             raise ValueError(f"blocks shape {blocks.shape} != {expected}")
         for sid in sids.tolist():
             if sid not in self._active:
                 raise KeyError(f"stream {sid} is not open")
-        for sid, blk in zip(sids.tolist(), blocks):
-            self._pending[sid] = blk
+        self._assembly[sids] = self._to_wire(blocks)
+        self._staged.update(sids.tolist())
 
     def _assemble(self):
-        """Scatter pending blocks into the slot-major pool buffer; returns
-        the sorted submitted sids. One fancy-index write (plus zeroing the
-        previous tick's rows) — no per-slot loop."""
-        if self._pending:
-            sids = np.fromiter(self._pending.keys(), np.int64,
-                               len(self._pending))
-            order = np.argsort(sids)
-            sids = sids[order]
-            blks = np.stack(list(self._pending.values()))[order]
+        """Seal the staged writes for one tick; returns the sorted submitted
+        sids. submit()/submit_many() already wrote the audio — all that
+        remains is zeroing rows that were live LAST tick but not this one
+        (idle slots must process silence)."""
+        if self._staged:
+            sids = np.fromiter(self._staged, np.int64, len(self._staged))
+            sids.sort()
         else:
             sids = np.empty(0, np.int64)
-            blks = np.empty((0,) + self._assembly.shape[1:], np.float32)
-        if self._assembled_sids.size:
-            self._assembly[self._assembled_sids] = 0.0
-        if sids.size:
-            self._assembly[sids] = blks
+        stale = np.setdiff1d(self._assembled_sids, sids, assume_unique=True)
+        if stale.size:
+            self._assembly[stale] = 0
         self._assembled_sids = sids
-        self._pending.clear()
+        self._staged.clear()
         return sids
 
     def _pool_to_tiles(self, pool):
@@ -344,17 +404,22 @@ class StreamServer:
             tiles.reshape(g, n, c, sk.MSUB, sk.LANES)
             .transpose(0, 3, 4, 2, 1)).reshape(g * sk.TILE, c, n)
 
-    def _device_tick(self, sids):
-        """Run one device step over the assembled pool. Returns
-        (submitted audio [K, C, N], metrics_list)."""
+    def _device_dispatch(self, sids):
+        """Dispatch one device step over the assembled pool WITHOUT
+        fetching results. Advances slot states; returns
+        (device audio, metrics_list, kernel_path) — all still futures
+        under JAX's async dispatch."""
         if self._custom_slots:
             edited = set().union(*self._custom_slots.values())
             kernel_path = (self._kernel_tick
                            and not (edited & self._rows_ineligible))
         else:
             kernel_path = self._kernel_tick
+        # snapshot the pool: _pool_to_tiles copies by construction; the
+        # fused path copies explicitly because jnp.asarray can be
+        # zero-copy on CPU and an async tick must not see later submits
         blocks = (self._pool_to_tiles(self._assembly) if kernel_path
-                  else self._assembly)
+                  else self._assembly.copy())
         jblocks = self._shard(jnp.asarray(blocks))
         if not self._custom_slots:
             out, self._states, metrics_list = self._tick_shared(
@@ -365,6 +430,12 @@ class StreamServer:
         else:
             out, self._states, metrics_list = self._tick_rows(
                 self._states, jblocks, self._params)
+        return out, metrics_list, kernel_path
+
+    def _device_tick(self, sids):
+        """Run one device step over the assembled pool, blocking. Returns
+        (submitted audio [K, C, N], metrics_list)."""
+        out, metrics_list, kernel_path = self._device_dispatch(sids)
         out_np = np.asarray(out)
         if kernel_path:
             out_np = self._tiles_to_pool(out_np)
@@ -378,15 +449,24 @@ class StreamServer:
         objects, the shape a host integrator consumes at thousands of
         streams per tick. Streams that submitted nothing process silence
         (their state still advances, like a DAW feeding an idle track)."""
+        return self.tick_arrays_async().result()
+
+    def tick_arrays_async(self) -> "TickHandle":
+        """Dispatch one batched device step WITHOUT blocking on the result.
+
+        Returns a TickHandle whose .result() yields the same tuple as
+        tick_arrays(). The serving pattern: dispatch tick k+1's compute
+        BEFORE fetching tick k's audio, so tick k's device->host transfer
+        overlaps tick k+1's device step (the PipelinedStream topology of
+        runtime/host_bridge.py applied to the pool — same reason the
+        reference host renders ahead of the callback). Slot state advances
+        at dispatch time, so submits between two async ticks land in the
+        later one, exactly as with blocking ticks."""
         sids = self._assemble()
-        audio, metrics_list = self._device_tick(sids)
-        if metrics_list is not None:
-            last = metrics_list[-1]
-            scores = np.asarray(last["score"])[sids]
-            pre = np.asarray(last["pre_score"])[sids]
-        else:
-            scores = pre = None
-        return sids, audio, scores, pre
+        out, metrics_list, kernel_path = self._device_dispatch(sids)
+        handle = TickHandle(self, sids, out, metrics_list, kernel_path)
+        self._inflight.append(handle)
+        return handle
 
     def tick(self) -> Dict[int, Dict[str, np.ndarray]]:
         """One batched device step over every submitted block.
@@ -418,3 +498,39 @@ class StreamServer:
                     for row in stage_rows]
             results[sid] = entry
         return results
+
+
+class TickHandle:
+    """An in-flight tick from StreamServer.tick_arrays_async(). Holds the
+    device-array futures; .result() materializes (sids, audio, scores,
+    pre_scores) exactly as tick_arrays() returns them."""
+
+    __slots__ = ("_srv", "_sids", "_out", "_metrics", "_kernel_path", "_res")
+
+    def __init__(self, srv, sids, out, metrics_list, kernel_path):
+        self._srv = srv
+        self._sids = sids
+        self._out = out
+        self._metrics = metrics_list
+        self._kernel_path = kernel_path
+        self._res = None
+
+    def result(self):
+        if self._res is None:
+            out_np = np.asarray(self._out)
+            if self._kernel_path:
+                out_np = self._srv._tiles_to_pool(out_np)
+            audio = out_np[self._sids]
+            if self._metrics is not None:
+                last = self._metrics[-1]
+                scores = np.asarray(last["score"])[self._sids]
+                pre = np.asarray(last["pre_score"])[self._sids]
+            else:
+                scores = pre = None
+            self._out = self._metrics = None      # release device refs
+            self._res = (self._sids, audio, scores, pre)
+            try:
+                self._srv._inflight.remove(self)
+            except ValueError:
+                pass
+        return self._res

@@ -351,6 +351,99 @@ def test_stream_server_kernel_tick_matches_fused(rng):
         sk.TILE, sk.MSUB = tile, msub
 
 
+def test_stream_server_i16_wire_matches_f32(rng):
+    """wire="i16" moves PCM16 over the link but processes float32 on
+    device: serving the PRE-QUANTIZED clip through an f32-wire server must
+    match the i16-wire output to within one output-quantization step
+    (1/32768). Float submits are quantized on the host; int16 submits pass
+    through as-is."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    f32 = StreamServer(chain, max_streams=2)
+    i16 = StreamServer(chain, max_streams=2, wire="i16")
+    clip = make_clip(rng, 2, BLOCK * 2)
+    pcm = np.clip(np.round(clip * 32768.0), -32768, 32767).astype(np.int16)
+
+    a_f, a_i = f32.open_stream(), i16.open_stream()
+    for k in range(2):
+        sl = np.s_[:, k * BLOCK:(k + 1) * BLOCK]
+        f32.submit(a_f, pcm[sl].astype(np.float32) / 32768.0)
+        # alternate float and raw-int16 submits on the i16 wire
+        i16.submit(a_i, clip[sl] if k == 0 else pcm[sl])
+        want = f32.tick()[a_f]["audio"]
+        got = i16.tick()[a_i]["audio"]
+        assert got.dtype == np.int16
+        np.testing.assert_allclose(got.astype(np.float32) / 32768.0, want,
+                                   atol=1.01 / 32768.0)
+
+    with pytest.raises(ValueError):
+        StreamServer(chain, max_streams=2, wire="i24")
+
+
+def test_stream_server_async_ticks_match_sync(rng):
+    """tick_arrays_async() pipelined two-deep (dispatch k+1 before fetching
+    k) returns exactly what blocking tick_arrays() returns, in order."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    sync = StreamServer(chain, max_streams=2)
+    pipe = StreamServer(chain, max_streams=2)
+    clip = make_clip(rng, 2, BLOCK * 4)
+
+    a_s, a_p = sync.open_stream(), pipe.open_stream()
+    want = []
+    for k in range(4):
+        sync.submit(a_s, clip[:, k * BLOCK:(k + 1) * BLOCK])
+        want.append(sync.tick_arrays())
+
+    handles, got = [], []
+    for k in range(4):
+        pipe.submit(a_p, clip[:, k * BLOCK:(k + 1) * BLOCK])
+        handles.append(pipe.tick_arrays_async())
+        if len(handles) > 2:                   # fetch k-2 after dispatching k
+            got.append(handles.pop(0).result())
+    assert pipe._inflight == handles
+    got.extend(h.result() for h in handles)
+    assert not pipe._inflight
+
+    for (ws, wa, wsc, wp), (gs, ga, gsc, gp) in zip(want, got):
+        np.testing.assert_array_equal(gs, ws)
+        np.testing.assert_allclose(ga, wa, atol=1e-7)
+        np.testing.assert_allclose(gsc, wsc, atol=1e-5)
+        np.testing.assert_allclose(gp, wp, atol=1e-5)
+
+
+def test_stream_server_staging_semantics(rng):
+    """Direct-assembly staging: resubmitting before a tick overwrites (last
+    write wins), a slot that stops submitting goes back to silence the next
+    tick, and closing a staged-but-unticked stream leaves the pool clean."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    server = StreamServer(chain, max_streams=2)
+    clip = make_clip(rng, 2, BLOCK)
+
+    a = server.open_stream()
+    server.submit(a, clip * 3.0)              # overwritten before the tick
+    server.submit(a, clip)
+    first = server.tick()[a]["audio"].copy()
+
+    ref = StreamServer(chain, max_streams=2)
+    b = ref.open_stream()
+    ref.submit(b, clip)
+    np.testing.assert_array_equal(first, ref.tick()[b]["audio"])
+
+    # a now goes idle: its next tick processes silence, not the stale block
+    res = server.tick()
+    assert a not in res
+    ref.tick()                                # advance ref's idle state too
+    server.submit(a, clip)
+    ref.submit(b, clip)
+    np.testing.assert_array_equal(server.tick()[a]["audio"],
+                                  ref.tick()[b]["audio"])
+
+    # closing a stream with a staged (never ticked) block zeroes its row
+    c = server.open_stream()
+    server.submit(c, clip * 5.0)
+    server.close_stream(c)
+    assert not np.any(server._assembly[c])
+
+
 @pytest.mark.slow
 def test_stream_server_per_stream_params_stay_on_kernel_tick(rng):
     """VERDICT r3 item 3: per-slot knob edits ride the chain kernel's
