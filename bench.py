@@ -467,6 +467,121 @@ def bench_mixed_materials(batch=8192, iters=3):
     }
 
 
+def _serve_wire_batches(server, k):
+    batches = [make_batch(k, CHANNELS, BLOCK, seed=100 + s)
+               for s in range(4)]
+    if server.wire == "i16":        # integrator fast path: PCM in, as-is
+        batches = [np.clip(np.round(b * 32768.0), -32768, 32767)
+                   .astype(np.int16) for b in batches]
+    return batches
+
+
+def _serve_measure(server, sids, label, res, deadline_ms, steps):
+    batches = _serve_wire_batches(server, len(sids))
+    for i in range(3):                          # compile + warm
+        server.submit_many(sids, batches[i % 4])
+        server.tick_arrays()
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        server.submit_many(sids, batches[i % 4])
+        got_sids, audio, scores, pre = server.tick_arrays()
+        if server.audio_out:
+            assert audio.shape == (len(sids), CHANNELS, BLOCK)
+        else:
+            assert scores.shape == (len(sids),)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    res[label] = {
+        "p50_ms": round(1e3 * times[len(times) // 2], 2),
+        "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 2),
+        "streams_per_chip_at_deadline": int(
+            len(sids) * deadline_ms / (1e3 * times[len(times) // 2])),
+    }
+    return times[len(times) // 2]
+
+
+def _serve_measure_async(server, sids, label, res, deadline_ms, steps,
+                         depth=2):
+    batches = _serve_wire_batches(server, len(sids))
+    handles = []
+    for i in range(3):                          # compile + warm the pipe
+        server.submit_many(sids, batches[i % 4])
+        handles.append(server.tick_arrays_async())
+    while handles:
+        handles.pop(0).result()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        server.submit_many(sids, batches[i % 4])
+        handles.append(server.tick_arrays_async())
+        if len(handles) >= depth:
+            got_sids, audio, scores, _p = handles.pop(0).result()
+            if server.audio_out:
+                assert audio.shape == (len(sids), CHANNELS, BLOCK)
+            else:
+                assert scores.shape == (len(sids),)
+    while handles:
+        handles.pop(0).result()
+    sustained = (time.perf_counter() - t0) / steps
+    res[label] = {
+        "sustained_ms": round(1e3 * sustained, 2),
+        "depth": depth,
+        "streams_per_chip_at_deadline": int(
+            len(sids) * deadline_ms / (1e3 * sustained)),
+    }
+    return sustained
+
+
+def bench_serve_meter(stream_counts=(2048, 8192), search_ks=(64, 128, 256,
+                      512, 1024), steps=20):
+    """Metering-rail serving (`StreamServer(audio_out=False, wire="i16")`:
+    scores only, no audio readback, PCM16 uplink) plus an honest deadline
+    SEARCH: the largest pool size whose full e2e tick (submit -> tick ->
+    result) actually fits the 10.67 ms callback deadline over THIS
+    environment's transport, for both the metering rail and the full
+    audio-out i16 pipeline. Over the axon tunnel the uplink bounds both;
+    co-located hosts see the device-step floor instead."""
+    from juicy_tpu.runtime.plugin import Chain
+    from juicy_tpu.runtime.serve import StreamServer
+
+    chain = Chain(CHAIN, sr=SR, channels=CHANNELS, block_size=BLOCK)
+    deadline_ms = 1e3 * BLOCK / SR
+    out = {"deadline_ms": round(deadline_ms, 3), "meter_per_k": {},
+           "deadline_search": {}}
+
+    for k in stream_counts:
+        srv = StreamServer(chain, max_streams=k, wire="i16",
+                           audio_out=False)
+        sids = np.array([srv.open_stream() for _ in range(k)])
+        res = {}
+        _serve_measure_async(srv, sids, "meter_i16_async", res,
+                             deadline_ms, steps)
+        out["meter_per_k"][str(k)] = res
+        del srv
+
+    for mode in ("meter", "audio"):
+        best = 0
+        rows = {}
+        for k in search_ks:
+            srv = StreamServer(chain, max_streams=k, wire="i16",
+                               audio_out=(mode == "audio"))
+            sids = np.array([srv.open_stream() for _ in range(k)])
+            res = {}
+            sustained = _serve_measure_async(srv, sids, "t", res,
+                                             deadline_ms, steps)
+            rows[str(k)] = res["t"]["sustained_ms"]
+            if 1e3 * sustained < deadline_ms:
+                best = k
+            del srv
+            if 1e3 * sustained > 4 * deadline_ms:
+                break                       # transport-linear; no point on
+        out["deadline_search"][mode] = {    # ever-larger pools
+            "sustained_ms_per_k": rows,
+            "max_streams_within_deadline_e2e": best,
+        }
+    return out
+
+
 def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
                     rows_at=4096):
     """END-TO-END serving benchmark: the REAL StreamServer path —
@@ -494,60 +609,12 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
     out = {"deadline_ms": round(deadline_ms, 3), "per_k": {}}
     sustained_max = 0
 
-    def wire_batches(server, k):
-        batches = [make_batch(k, CHANNELS, BLOCK, seed=100 + s)
-                   for s in range(4)]
-        if server.wire == "i16":    # integrator fast path: PCM in, as-is
-            batches = [np.clip(np.round(b * 32768.0), -32768, 32767)
-                       .astype(np.int16) for b in batches]
-        return batches
-
     def measure(server, sids, label, res):
-        batches = wire_batches(server, len(sids))
-        for i in range(3):                      # compile + warm
-            server.submit_many(sids, batches[i % 4])
-            server.tick_arrays()
-        times = []
-        for i in range(steps):
-            t0 = time.perf_counter()
-            server.submit_many(sids, batches[i % 4])
-            got_sids, audio, scores, pre = server.tick_arrays()
-            assert audio.shape == (len(sids), CHANNELS, BLOCK)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        res[label] = {
-            "p50_ms": round(1e3 * times[len(times) // 2], 2),
-            "p95_ms": round(1e3 * times[int(len(times) * 0.95)], 2),
-            "streams_per_chip_at_deadline": int(
-                len(sids) * deadline_ms / (1e3 * times[len(times) // 2])),
-        }
-        return times[len(times) // 2]
+        return _serve_measure(server, sids, label, res, deadline_ms, steps)
 
-    def measure_async(server, sids, label, res, depth=2):
-        batches = wire_batches(server, len(sids))
-        handles = []
-        for i in range(3):                      # compile + warm the pipe
-            server.submit_many(sids, batches[i % 4])
-            handles.append(server.tick_arrays_async())
-        while handles:
-            handles.pop(0).result()
-        t0 = time.perf_counter()
-        for i in range(steps):
-            server.submit_many(sids, batches[i % 4])
-            handles.append(server.tick_arrays_async())
-            if len(handles) >= depth:
-                got_sids, audio, _s, _p = handles.pop(0).result()
-                assert audio.shape == (len(sids), CHANNELS, BLOCK)
-        while handles:
-            handles.pop(0).result()
-        sustained = (time.perf_counter() - t0) / steps
-        res[label] = {
-            "sustained_ms": round(1e3 * sustained, 2),
-            "depth": depth,
-            "streams_per_chip_at_deadline": int(
-                len(sids) * deadline_ms / (1e3 * sustained)),
-        }
-        return sustained
+    def measure_async(server, sids, label, res):
+        return _serve_measure_async(server, sids, label, res, deadline_ms,
+                                    steps)
 
     for k in stream_counts:
         server = StreamServer(chain, max_streams=k)
@@ -692,6 +759,12 @@ def main():
             details["serve_e2e"] = bench_serve_e2e()
         except Exception as e:
             details["serve_e2e"] = {"error": repr(e)}
+        save()
+    if force or "serve_meter" not in details:
+        try:
+            details["serve_meter"] = bench_serve_meter()
+        except Exception as e:
+            details["serve_meter"] = {"error": repr(e)}
         save()
     if force or "mixed_materials" not in details:
         try:

@@ -47,7 +47,8 @@ from juicy_tpu.runtime.plugin import Chain
 class StreamServer:
     def __init__(self, chain: Chain, max_streams: int,
                  metrics: str = "blocks", stage_metrics: str = "last",
-                 mesh=None, wire: str = "f32", _interpret: bool = False):
+                 mesh=None, wire: str = "f32", audio_out: bool = True,
+                 _interpret: bool = False):
         """`stage_metrics`: "last" returns the final stage's score per tick
         (cheapest host transfer); "all" returns every stage's metric dict
         per stream (the full meter-rail view).
@@ -70,11 +71,24 @@ class StreamServer:
         chain's gain — measured ~−68 dBFS end-to-end vs an f32 wire on a
         hot transient chain (punch+saturator presets). Right for
         metering/monitoring rails and transport-bound serving; use "f32"
-        when delivering mastering-grade audio."""
+        when delivering mastering-grade audio.
+
+        `audio_out=False` is the METERING RAIL: ticks return scores only
+        and the rendered audio never leaves the jit (None in its place) —
+        no device->host audio transfer (the per-tick readback drops from
+        K*C*N samples to a handful of floats per stream) and, on the
+        fused path, XLA dead-code-eliminates the render. The analyzer/
+        monitoring topology: JuicyInfer is exactly this plugin shape
+        (pure analysis, unity passthrough), here as a pool mode for any
+        chain."""
         self.chain = chain
         self.max_streams = int(max_streams)
         self.metrics = metrics
         self.stage_metrics = stage_metrics
+        self.audio_out = bool(audio_out)
+        if not self.audio_out and metrics != "blocks":
+            raise ValueError("audio_out=False needs metrics='blocks' "
+                             "(scores are the only output)")
         if wire not in ("f32", "i16"):
             raise ValueError(f"wire must be 'f32' or 'i16', got {wire!r}")
         self.wire = wire
@@ -182,16 +196,24 @@ class StreamServer:
         def _wire_fn(fn):
             """i16 wire: decode PCM16 -> f32 on entry, encode on exit —
             both INSIDE the tick's jit so XLA fuses the casts into the
-            step and the tunnel only ever carries 2-byte samples."""
-            if wire != "i16":
+            step and the tunnel only ever carries 2-byte samples.
+            audio_out=False: the render is dropped INSIDE the jit (None
+            out), so it is never encoded, copied out, or (fused path even
+            computed — XLA DCEs it)."""
+            if wire != "i16" and self.audio_out:
                 return fn
 
             def wrapped(states, blocks, *extra):
-                x = blocks.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+                x = blocks
+                if wire == "i16":
+                    x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
                 out, st, ml = fn(states, x, *extra)
-                pcm = jnp.clip(jnp.round(out * 32768.0),
-                               -32768.0, 32767.0).astype(jnp.int16)
-                return pcm, st, ml
+                if not self.audio_out:
+                    out = None
+                elif wire == "i16":
+                    out = jnp.clip(jnp.round(out * 32768.0),
+                                   -32768.0, 32767.0).astype(jnp.int16)
+                return out, st, ml
             return wrapped
 
         _tick_shared = _wire_fn(_tick_shared)
@@ -315,9 +337,8 @@ class StreamServer:
         tiles = self._pool_to_tiles(zeros) if self._kernel_tick else zeros
 
         def run(fn, blocks, *extra):
-            out, _st, _ms = fn(self._states, self._shard(jnp.asarray(blocks)),
-                               *extra)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])  # force completion
+            res = fn(self._states, self._shard(jnp.asarray(blocks)), *extra)
+            np.asarray(jax.tree_util.tree_leaves(res)[0])  # force completion
 
         run(self._tick_shared, tiles)
         if rows:
@@ -434,8 +455,10 @@ class StreamServer:
 
     def _device_tick(self, sids):
         """Run one device step over the assembled pool, blocking. Returns
-        (submitted audio [K, C, N], metrics_list)."""
+        (submitted audio [K, C, N] | None, metrics_list)."""
         out, metrics_list, kernel_path = self._device_dispatch(sids)
+        if out is None:                       # metering rail: scores only
+            return None, metrics_list
         out_np = np.asarray(out)
         if kernel_path:
             out_np = self._tiles_to_pool(out_np)
@@ -488,7 +511,7 @@ class StreamServer:
         else:
             stage_rows = None
         for k, sid in enumerate(sids.tolist()):
-            entry = {"audio": audio[k]}
+            entry = {} if audio is None else {"audio": audio[k]}
             if scores is not None:
                 entry["score"] = float(scores[sid])
                 entry["pre_score"] = float(np.asarray(last["pre_score"])[sid])
@@ -517,10 +540,13 @@ class TickHandle:
 
     def result(self):
         if self._res is None:
-            out_np = np.asarray(self._out)
-            if self._kernel_path:
-                out_np = self._srv._tiles_to_pool(out_np)
-            audio = out_np[self._sids]
+            if self._out is None:             # metering rail: scores only
+                audio = None
+            else:
+                out_np = np.asarray(self._out)
+                if self._kernel_path:
+                    out_np = self._srv._tiles_to_pool(out_np)
+                audio = out_np[self._sids]
             if self._metrics is not None:
                 last = self._metrics[-1]
                 scores = np.asarray(last["score"])[self._sids]

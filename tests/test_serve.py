@@ -410,6 +410,37 @@ def test_stream_server_async_ticks_match_sync(rng):
         np.testing.assert_allclose(gp, wp, atol=1e-5)
 
 
+def test_stream_server_metering_rail(rng):
+    """audio_out=False: ticks return the same scores as a full server but
+    no audio (the render never leaves the jit) — the monitoring-pool
+    analog of JuicyInfer's pure-analysis shape."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    full = StreamServer(chain, max_streams=2)
+    meter = StreamServer(chain, max_streams=2, audio_out=False,
+                         wire="i16")   # input-only wire decode
+    clip = make_clip(rng, 2, BLOCK * 2)
+    pcm = np.clip(np.round(clip * 32768.0), -32768, 32767).astype(np.int16)
+
+    a_f, a_m = full.open_stream(), meter.open_stream()
+    for k in range(2):
+        sl = np.s_[:, k * BLOCK:(k + 1) * BLOCK]
+        full.submit(a_f, pcm[sl].astype(np.float32) / 32768.0)
+        meter.submit(a_m, pcm[sl])
+        want = full.tick()[a_f]
+        got = meter.tick()[a_m]
+        assert "audio" not in got
+        assert got["score"] == pytest.approx(want["score"], abs=1e-3)
+        assert got["pre_score"] == pytest.approx(want["pre_score"],
+                                                 abs=1e-3)
+    # bulk/async forms return None audio
+    meter.submit(a_m, pcm[:, :BLOCK])
+    sids, audio, scores, pre = meter.tick_arrays()
+    assert audio is None and scores is not None
+
+    with pytest.raises(ValueError):
+        StreamServer(chain, max_streams=2, audio_out=False, metrics="none")
+
+
 def test_stream_server_staging_semantics(rng):
     """Direct-assembly staging: resubmitting before a tick overwrites (last
     write wins), a slot that stops submitting goes back to silence the next
