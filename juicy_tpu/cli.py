@@ -446,11 +446,13 @@ def cmd_serve(args):
                          str(sorted({c.shape[0] for c in clips})))
     chain = Chain(stages, sr=sr, channels=clips[0].shape[0],
                   block_size=args.block)
-    server = StreamServer(chain, max_streams=max(4, len(inputs)))
+    server = StreamServer(chain, max_streams=max(4, len(inputs)),
+                          wire=args.wire, audio_out=not args.meter_only)
     sids = [server.open_stream() for _ in inputs]
     padded = [pad_to_blocks(jnp.asarray(c), args.block)[0] for c in clips]
     n_blocks = [p.shape[-1] // args.block for p in padded]
     outs = {sid: [] for sid in sids}
+    scores = {sid: 0.0 for sid in sids}
     t0 = time.perf_counter()
     ticks = 0
     for k in range(max(n_blocks)):
@@ -459,11 +461,18 @@ def cmd_serve(args):
                 server.submit(sid, np.asarray(
                     pad[..., k * args.block:(k + 1) * args.block]))
         for sid, res in server.tick().items():
-            outs[sid].append(res["audio"])
+            if "audio" in res:
+                outs[sid].append(res["audio"])
+            scores[sid] = res.get("score", 0.0)
         ticks += 1
     wall = time.perf_counter() - t0
     for i, (sid, path) in enumerate(zip(sids, inputs)):
+        if args.meter_only:
+            print(f"stream {i}: {path}  score {scores[sid]:.1f}")
+            continue
         out = np.concatenate(outs[sid], axis=-1)[..., :clips[i].shape[-1]]
+        if args.wire == "i16":
+            out = out.astype(np.float32) / 32768.0
         dest = args.out_prefix + f"{i}.wav"
         write_wav(dest, out, sr)
         print(f"stream {i}: {path} -> {dest}")
@@ -544,6 +553,12 @@ def main(argv=None):
     p.add_argument("--stages", default="punch,saturator,infer")
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--out-prefix", default="served_")
+    p.add_argument("--wire", choices=("f32", "i16"), default="f32",
+                   help="host<->device transport: i16 halves the bytes "
+                        "(PCM16 wire, f32 processing on device)")
+    p.add_argument("--meter-only", action="store_true",
+                   help="metering rail: report scores, skip the audio "
+                        "readback/render entirely (audio_out=False)")
 
     args = ap.parse_args(argv)
     {"list": cmd_list, "process": cmd_process, "chain": cmd_chain,
