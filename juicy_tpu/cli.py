@@ -124,7 +124,8 @@ class _KeyReader:
 
 
 def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
-                 automation=None, title=None, interactive=False):
+                 automation=None, title=None, interactive=False,
+                 web_port=None, loops=1):
     """Block-by-block render with a live-updating meter panel.
 
     The reference UX: a 20 Hz juce::Timer polls getLatestMetrics and
@@ -135,6 +136,12 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
     param editing (up/down select, left/right nudge, the slider-surface
     analog). `realtime` paces the loop to the audio clock (1x); otherwise it
     renders as fast as the chip goes.
+
+    `web_port` additionally serves the WINDOWED editor (ui/web.py: painted
+    meters + mouse sliders over HTTP, same numeric model); slider edits
+    are applied between blocks like the reference's APVTS atomics.
+    `loops` replays the input N times (0 = forever) so the web editor
+    stays live; the written output is the first pass.
     """
     import sys
     import time
@@ -150,16 +157,30 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
                        show_triangle_metrics=plug.defn.show_triangle_metrics)
     state = plug.init_state()
     params = dict(params)
-    editable = [pid for pid in params
-                if not plug.defn.param(pid).readonly] if interactive else []
+    editable = [pid for pid in params if not plug.defn.param(pid).readonly]
+    web = None
+    if web_port is not None:
+        from juicy_tpu.ui.web import MeterWebServer
+        specs = [(pid, float(plug.defn.param(pid).lo),
+                  float(plug.defn.param(pid).hi), float(params[pid]))
+                 for pid in editable]
+        web = MeterWebServer(title or plug.defn.title, specs,
+                             show_ghost_stats=plug.defn.show_ghost_stats,
+                             show_triangle_metrics=(
+                                 plug.defn.show_triangle_metrics),
+                             port=web_port)
+        print(f"web editor: {web.url}")
     sel = 0
     outs = []
     block_s = plug.block_size / sr
     last_paint = 0.0
     painted_lines = 0
     stop = False
+    rep = 0
+    done_blocks = 0
     start = time.perf_counter()
     with _KeyReader() as keys:
+      while not stop and (loops == 0 or rep < loops):
         for k in range(nb):
             if stop:
                 break
@@ -180,16 +201,28 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
                         v = float(params[pid]) + sign * pct * (spec.hi - spec.lo)
                         params[pid] = np.float32(min(spec.hi, max(spec.lo, v)))
                     key = keys.poll()
+            if web is not None:
+                if web.stop_requested:
+                    stop = True
+                for pid, v in web.pop_param_edits().items():
+                    params[pid] = np.float32(v)
             blk = padded[..., k * plug.block_size:(k + 1) * plug.block_size]
             p = dict(params)
             for key2, curve in automation.items():
                 p[key2] = curve[k]
             out, state, metrics = plug.jit_step(p, state, blk)
-            outs.append(np.asarray(out))
+            if rep == 0:
+                outs.append(np.asarray(out))
+            done_blocks += 1
             now = time.perf_counter()
             if now - last_paint >= 1.0 / refresh_hz or k == nb - 1:
                 panel.set_metrics({key2: float(np.asarray(v))
                                    for key2, v in metrics.items()})
+                if web is not None:
+                    web.set_metrics({key2: float(np.asarray(v))
+                                     for key2, v in metrics.items()})
+                    web.set_params_view({pid: float(params[pid])
+                                         for pid in editable})
                 frame = panel.render()
                 if interactive and editable:
                     rows = []
@@ -209,10 +242,14 @@ def _stream_live(plug, params, audio, sr, refresh_hz=20.0, realtime=False,
                 painted_lines = frame.count("\n") + 1
                 last_paint = now
             if realtime:
-                target = start + (k + 1) * block_s
+                target = start + done_blocks * block_s
                 delay = target - time.perf_counter()
                 if delay > 0:
                     time.sleep(delay)
+        rep += 1
+    if web is not None:
+        web.mark_done()
+        web.close()
     return np.concatenate(outs, axis=-1)[..., :t]
 
 
@@ -226,7 +263,9 @@ def cmd_process(args):
         out = _stream_live(plug, params, audio, sr,
                            realtime=getattr(args, "realtime", False),
                            automation=auto,
-                           interactive=getattr(args, "interactive", False))
+                           interactive=getattr(args, "interactive", False),
+                           web_port=getattr(args, "web", None),
+                           loops=getattr(args, "loop", 1))
         rows = []
     else:
         out, rows = _stream(plug, params, audio, sr, meters=args.meters,
@@ -514,6 +553,14 @@ def main(argv=None):
                                 "editing while rendering (up/down select, "
                                 "left/right nudge — the auto-generated "
                                 "slider surface analog)")
+            p.add_argument("--web", type=int, metavar="PORT",
+                           help="with --live: also serve the WINDOWED "
+                                "editor (painted meters + mouse sliders, "
+                                "ui/web.py) at http://127.0.0.1:PORT "
+                                "(0 = any free port)")
+            p.add_argument("--loop", type=int, default=1, metavar="N",
+                           help="with --live: replay the input N times "
+                                "(0 = forever) so the editor stays live")
 
     p = sub.add_parser("chain")
     p.add_argument("input")
