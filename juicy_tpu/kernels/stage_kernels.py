@@ -469,7 +469,7 @@ def tex_unpack(nextp, mode: int, nexts=None):
         mc["a2s"] = nextp(nm)
         mc["gains"] = nextp(nm)
         mc["hz_cap"] = nextp()
-        mc["sr_f"] = nextp()
+        mc["th_scale"] = nextp()
         (mc["k_a"], mc["k_b"], mc["c_a"], mc["c_b"],
          mc["k_couple"]) = nextp(5)
     elif mode == 1:
@@ -478,7 +478,7 @@ def tex_unpack(nextp, mode: int, nexts=None):
         mc["a2s"] = nextp(nm)
         mc["gains"] = nextp(nm)
         mc["hz_cap"] = nextp()
-        mc["sr_f"] = nextp()
+        mc["th_scale"] = nextp()
     elif mode in (2, 3):
         mc["a1s"] = nextp(nm)
         mc["a2s"] = nextp(nm)
@@ -545,11 +545,11 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
         omega, kspring = mc["omega"], mc["kspring"]
     elif mode == 1:
         freqs, rs, a2s = mc["freqs"], mc["rs"], mc["a2s"]
-        gains, hz_cap, sr_f = mc["gains"], mc["hz_cap"], mc["sr_f"]
+        gains, hz_cap, th_scale = mc["gains"], mc["hz_cap"], mc["th_scale"]
     elif mode == TEX_PACKED:
         omega, kspring = mc["omega"], mc["kspring"]
         freqs, rs, a2s = mc["freqs"], mc["rs"], mc["a2s"]
-        gains, hz_cap, sr_f = mc["gains"], mc["hz_cap"], mc["sr_f"]
+        gains, hz_cap, th_scale = mc["gains"], mc["hz_cap"], mc["th_scale"]
         k_a, k_b = mc["k_a"], mc["k_b"]
         c_a, c_b, k_couple = mc["c_a"], mc["c_b"], mc["k_couple"]
         mode_t = mc["mode_t"]                  # per-lane mode word tile
@@ -599,7 +599,7 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
                 f = freqs[k] * bend
                 f = jnp.where(f < jnp.float32(20.0), jnp.float32(20.0), f)
                 f = jnp.where(hz_cap < f, hz_cap, f)
-                theta = TWO_PI32 * f / sr_f
+                theta = f * th_scale   # one shared 2pi/sr constant (texture.theta_scale)
                 a1 = jnp.float32(2.0) * rs[k] * cos32(theta)
                 ys.append(exc * gains[k] + a1 * y1[k] + a2s[k] * y2[k])
             modes_sum = ((ys[0] + ys[1]) + ys[2]) + ys[3]
@@ -661,7 +661,7 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
                 f = freqs[k] * bend
                 f = jnp.where(f < jnp.float32(20.0), jnp.float32(20.0), f)
                 f = jnp.where(hz_cap < f, hz_cap, f)
-                theta = TWO_PI32 * f / sr_f
+                theta = f * th_scale   # one shared 2pi/sr constant (texture.theta_scale)
                 a1 = jnp.float32(2.0) * rs[k] * cos32(theta)
                 ys.append(exc * gains[k] + a1 * y1[k] + a2s[k] * y2[k])
             modes_sum = ((ys[0] + ys[1]) + ys[2]) + ys[3]
@@ -947,7 +947,7 @@ def tex_param_list(params, dsp, sr: float, mode: int):
         rs = exp32(jnp.float32(np.log(np.float32(0.001)))
                    / (t * jnp.float32(sr)))
         return [*freqs, *rs, *(-rs * rs), *mc1["gains"],
-                jnp.float32(0.45 * sr), jnp.float32(sr)]
+                jnp.float32(0.45 * sr), jnp.float32(_tex.theta_scale(sr))]
 
     pv = [kc[k] for k in _TEX_COMMON]
     if mode == 0:

@@ -85,6 +85,20 @@ def init(sr: float, channels: int):
     }
 
 
+def theta_scale(sr) -> np.float32:
+    """2π/sr as one f32 constant, rounded once in numpy (eager, exact bits).
+
+    The modal angle is evaluated as ``theta = f * theta_scale(sr)`` instead
+    of ``2π·f/sr``: XLA rewrites division by a compile-time constant into a
+    reciprocal multiply when the operands are literals (the scan executor)
+    but not when the denominator is a runtime scalar (the Pallas kernel's
+    SMEM params), so the two paths rounded theta differently by 1 ulp —
+    which the near-unity modal poles amplified to ~−90 dBFS. Baking the
+    reciprocal into ONE shared constant makes both paths a single identical
+    multiply."""
+    return np.float32(np.float32(2.0 * PI) / np.float32(sr))
+
+
 def _modal_coeffs(freq_hz, t60, sr):
     """2-pole modal resonator coefficients (cpp:77-89).
 
@@ -95,7 +109,7 @@ def _modal_coeffs(freq_hz, t60, sr):
     f = jlimit(20.0, 0.45 * sr, freq_hz)
     t = jnp.maximum(jnp.float32(0.02), t60)
     r = exp32(jnp.float32(np.log(np.float32(0.001))) / (t * jnp.float32(sr)))
-    theta = jnp.float32(2.0 * PI) * f / jnp.float32(sr)
+    theta = f * theta_scale(sr)
     a1 = jnp.float32(2.0) * r * cos32(theta)
     a2 = -r * r
     return a1, a2
