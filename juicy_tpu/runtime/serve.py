@@ -45,6 +45,11 @@ from juicy_tpu.runtime.plugin import Chain
 
 
 class StreamServer:
+    #: tick_arrays_async depth cap: dispatching past this resolves the
+    #: oldest in-flight tick first (bounds device-array pinning under
+    #: fire-and-forget use; useful pipeline overlap is depth 2-3)
+    MAX_INFLIGHT = 8
+
     def __init__(self, chain: Chain, max_streams: int,
                  metrics: str = "blocks", stage_metrics: str = "last",
                  mesh=None, wire: str = "f32", audio_out: bool = True,
@@ -488,6 +493,12 @@ class StreamServer:
         sids = self._assemble()
         out, metrics_list, kernel_path = self._device_dispatch(sids)
         handle = TickHandle(self, sids, out, metrics_list, kernel_path)
+        # Fire-and-forget callers would otherwise pin device arrays forever:
+        # a handle leaves _inflight only inside result(), so cap the queue
+        # and resolve the oldest on overflow (depth ~2-3 is the useful
+        # pipeline; anything deeper is a leak, not overlap).
+        while len(self._inflight) >= self.MAX_INFLIGHT:
+            self._inflight[0].result()
         self._inflight.append(handle)
         return handle
 

@@ -20,7 +20,9 @@ editor, with the render loop on the TPU instead of a DAW callback.
 
 from __future__ import annotations
 
+import html as _html
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
@@ -159,6 +161,7 @@ def panel_html(title: str, param_specs: List[Tuple[str, float, float, float]],
     value) for each NON-readonly parameter (the createControls skip-list,
     JuicyPluginEditor.cpp:104-113)."""
     accent_deg = round(accent_hue_from_title(title) * 360.0, 1)
+    title = _html.escape(title)
     ticks = "".join(f'<div class="tick" style="left:{20 * i}%"></div>'
                     for i in range(1, 5))
     bars_src = TRIANGLE_BARS if show_triangle_metrics else FEATURE_BARS
@@ -176,6 +179,7 @@ def panel_html(title: str, param_specs: List[Tuple[str, float, float, float]],
     params = []
     for pid, lo, hi, value in param_specs:
         step = (hi - lo) / 200.0 or 1.0
+        pid = _html.escape(str(pid), quote=True)
         params.append(
             f'<div class="param"><label>{pid}</label>'
             f'<input type="range" id="p_{pid}" data-pid="{pid}" '
@@ -238,7 +242,27 @@ class MeterWebServer:
                 else:
                     self._send(404, b"not found", "text/plain")
 
+            def _same_origin(self) -> bool:
+                """Reject cross-origin 'simple' POSTs (DNS-rebinding/CSRF
+                against the loopback editor): the Host header must be the
+                bound address, and an Origin header, when the browser sends
+                one, must point back at it."""
+                bound = "%s:%d" % self.server.server_address[:2]
+                host = (self.headers.get("Host") or "").strip()
+                if host not in (bound, bound.replace("127.0.0.1",
+                                                     "localhost")):
+                    return False
+                origin = (self.headers.get("Origin") or "").strip()
+                if origin and origin not in (f"http://{bound}",
+                                             "http://" + bound.replace(
+                                                 "127.0.0.1", "localhost")):
+                    return False
+                return True
+
             def do_POST(self):
+                if not self._same_origin():
+                    self._send(403, b"cross-origin rejected", "text/plain")
+                    return
                 if self.path.lstrip("/") == "stop":
                     with server._lock:
                         server._stop = True
@@ -252,7 +276,9 @@ class MeterWebServer:
                     msg = json.loads(self.rfile.read(n))
                     pid, value = str(msg["id"]), float(msg["value"])
                     lo, hi = server._specs[pid]
-                except (KeyError, ValueError, json.JSONDecodeError):
+                except (KeyError, TypeError, ValueError,
+                        json.JSONDecodeError):
+                    # TypeError covers {"value": null} / non-dict bodies
                     self._send(400, b"bad edit", "text/plain")
                     return
                 with server._lock:
@@ -275,21 +301,29 @@ class MeterWebServer:
     def set_metrics(self, metrics: Dict[str, float]) -> None:
         """Feed one snapshot through the shared numeric model and publish
         the smoothed view (== the 20 Hz timer tick)."""
+
+        def fin(x):
+            # a NaN/Inf metric (degenerate audio) would emit bare NaN —
+            # invalid JSON, which silently stalls the browser's poll loop
+            x = float(x)
+            return x if math.isfinite(x) else 0.0
+
         self.panel.set_metrics(metrics)
         bars = {}
         for key, _ in FEATURE_BARS + TRIANGLE_BARS:
             st = self.panel.stats.get(key)
             bars[key] = {
-                "value": self.panel.smoothed.get(key, 0.0),
-                "min": st.min if st else 0.0, "max": st.max if st else 0.0,
-                "avg": st.avg if st else 0.0,
+                "value": fin(self.panel.smoothed.get(key, 0.0)),
+                "min": fin(st.min) if st else 0.0,
+                "max": fin(st.max) if st else 0.0,
+                "avg": fin(st.avg) if st else 0.0,
                 "count": st.count if st else 0,
             }
         with self._lock:
-            self._state["pre_score"] = self.panel.smoothed.get("pre_score",
-                                                               0.0)
-            self._state["post_score"] = self.panel.smoothed.get("post_score",
-                                                                0.0)
+            self._state["pre_score"] = fin(
+                self.panel.smoothed.get("pre_score", 0.0))
+            self._state["post_score"] = fin(
+                self.panel.smoothed.get("post_score", 0.0))
             self._state["bars"] = bars
             self._state["params"] = dict(self._params_view)
 

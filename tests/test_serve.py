@@ -410,6 +410,27 @@ def test_stream_server_async_ticks_match_sync(rng):
         np.testing.assert_allclose(gp, wp, atol=1e-5)
 
 
+def test_stream_server_async_inflight_capped(rng):
+    """Fire-and-forget tick_arrays_async() must not pin device arrays
+    without bound: past MAX_INFLIGHT the oldest handle is resolved at
+    dispatch time, and its later .result() still returns the right tick."""
+    chain = Chain(STAGES, sr=SR, channels=2, block_size=BLOCK)
+    srv = StreamServer(chain, max_streams=2)
+    sid = srv.open_stream()
+    clip = make_clip(rng, 2, BLOCK)
+    handles = []
+    for _ in range(srv.MAX_INFLIGHT + 3):       # never call .result()
+        srv.submit(sid, clip)
+        handles.append(srv.tick_arrays_async())
+    assert len(srv._inflight) <= srv.MAX_INFLIGHT
+    # force-resolved handles still serve their cached result
+    first = handles[0].result()
+    assert first[0].tolist() == [sid]
+    for h in handles:
+        h.result()
+    assert not srv._inflight
+
+
 def test_stream_server_metering_rail(rng):
     """audio_out=False: ticks return the same scores as a full server but
     no audio (the render never leaves the jit) — the monitoring-pool

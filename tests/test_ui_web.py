@@ -100,9 +100,51 @@ def test_meter_web_server_roundtrip():
         state = json.loads(_get(srv.url + "state")[1])
         assert state["params"] == {"punch": 0.8, "clip": 0.1}
 
+        # null/wrong-typed JSON must 400, not abort the connection
+        # (float(None)/list-index raise TypeError inside the handler)
+        status, _ = _post(srv.url + "param",
+                          json.dumps({"id": "punch", "value": None}).encode())
+        assert status == 400
+        status, _ = _post(srv.url + "param", json.dumps(["x"]).encode())
+        assert status == 400
+        assert srv.pop_param_edits() == {}
+
+        # non-finite metrics must serialize to valid JSON (browser's
+        # response.json() would otherwise throw and stall the poll)
+        srv.set_metrics({"pre_score": float("nan"),
+                         "post_score": float("inf"), "punch": float("nan")})
+        state = json.loads(_get(srv.url + "state")[1])   # strict JSON parse
+        assert state["pre_score"] == 0.0
+
+        # cross-origin POSTs are rejected (DNS-rebinding/CSRF guard):
+        # wrong Host, and evil Origin with correct Host
+        req = urllib.request.Request(srv.url + "stop", data=b"",
+                                     method="POST")
+        req.add_header("Host", "evil.example:80")
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 403 and not srv.stop_requested
+        req = urllib.request.Request(srv.url + "stop", data=b"",
+                                     method="POST")
+        req.add_header("Origin", "http://evil.example")
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 403 and not srv.stop_requested
+
         # stop control latches for the render loop
         assert not srv.stop_requested
         assert _post(srv.url + "stop", b"")[0] == 200
         assert srv.stop_requested
+
+        # title / param ids are HTML-escaped in the page
+        page = panel_html("<script>x</script>", [("a<b", 0.0, 1.0, 0.5)])
+        assert "<script>x</script>" not in page
+        assert 'data-pid="a<b"' not in page
     finally:
         srv.close()
