@@ -148,12 +148,17 @@ def bench_config(stages, batch, fused=False, iters=3):
     np.asarray(s)
     compile_s = time.perf_counter() - t_compile
 
+    # One device->host fetch per timed iter costs a tunnel RTT (9-25 ms —
+    # >10% of a ~0.2 s measurement). Amortize: queue `reps` back-to-back
+    # dispatches (the single device serializes them) and fetch once.
+    reps = 3
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        s, _ = run_batch(clips)
+        for _ in range(reps):
+            s, _ = run_batch(clips)
         np.asarray(s)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / reps)
     wall = min(times)
     audio_sec = batch * T / SR
     return {
@@ -643,20 +648,66 @@ def bench_serve_e2e(stream_counts=(2048, 4096, 8192), steps=30,
     return out
 
 
+def _headline_value(details):
+    """Best full-chain audio-returning rate across measured configs (the
+    score_only tiers drop the output — a different workload, reported in
+    details but never as the headline)."""
+    candidates = [v for k, v in details.items()
+                  if k.startswith("full_chain") and "score_only" not in k
+                  and isinstance(v, dict) and "audio_sec_per_sec" in v]
+    return max((float(v["audio_sec_per_sec"]) for v in candidates),
+               default=0.0)
+
+
+def _print_headline(details):
+    print(json.dumps({
+        "metric": "full-chain audio-sec/sec/chip @48kHz stereo (7 plugins, "
+                  "pre+post analysis)",
+        "value": round(_headline_value(details), 1),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(_headline_value(details) / TARGET_X_REALTIME, 3),
+    }), flush=True)
+
+
 def main():
+    # Wall-clock budget (round-4 post-mortem: the driver's run timed out at
+    # its harness limit with NO headline printed because every expensive
+    # tier re-measured first). The headline config runs FIRST and its JSON
+    # prints immediately; each later tier starts only while inside budget.
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("JUICY_BENCH_BUDGET_S", "1500"))
+
+    def in_budget():
+        return time.monotonic() - t_start < budget_s
+
     details = {"device": str(jax.devices()[0]), "sr": SR, "channels": CHANNELS}
     if os.path.exists("BENCH_DETAILS.json"):
-        try:  # accumulate across runs (compile cache makes reruns cheap)
+        try:  # accumulate across runs (compile cache makes reruns cheap).
+            # Keep EVERY prior dict section — dropping the non-throughput
+            # sections (realtime_*, serve_*, mixed_materials) forced each
+            # run to re-measure ~6 multi-minute tiers (round-4 timeout).
             with open("BENCH_DETAILS.json") as f:
                 prev = json.load(f)
             details.update({k: v for k, v in prev.items()
-                            if isinstance(v, dict) and "audio_sec_per_sec" in v})
+                            if isinstance(v, dict) and "error" not in v
+                            and "skipped" not in v})
         except Exception:
             pass
 
     def save():
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
+
+    # headline first: ONE config (tile-layout chain kernel — the recorded
+    # round-3/4 headline path, compile-cached), then print + flush so the
+    # driver records a number even if a later tier exhausts its timeout.
+    try:
+        details["full_chain_kernel_tiles"] = bench_config(
+            CONFIGS["full_chain"], 8192, fused="chain_kernel_tiles")
+    except Exception as e:
+        details.setdefault("full_chain_kernel_tiles", {"error": repr(e)})
+    save()
+    _print_headline(details)
 
     # fused (Pallas analyzer) path first — the fast tier and the headline;
     # batch must be 1024-aligned.
@@ -701,13 +752,16 @@ def main():
     # to re-measure everything) — compiles on this box take minutes per config
     # and the persistent cache keeps reruns honest.
     force = bool(os.environ.get("JUICY_BENCH_FORCE"))
-    always = {"full_chain_kernelx", "full_chain_kernel_tiles",
-              "full_chain_fusedx", "full_chain"}
+    always = {"full_chain_kernelx", "full_chain_fusedx", "full_chain"}
     for name, stages, batch, fused in jobs:
+        if name == "full_chain_kernel_tiles":
+            continue  # measured first (headline)
         if (not force and name not in always
                 and isinstance(details.get(name), dict)
                 and "audio_sec_per_sec" in details[name]):
             continue
+        if not in_budget():
+            break
         try:
             details[name] = bench_config(stages, batch, fused=fused)
         except Exception as e:  # keep the headline alive even if one config dies
@@ -728,65 +782,37 @@ def main():
         if (not force and isinstance(details.get(kname), dict)
                 and "audio_sec_per_sec" in details[kname]):
             continue
+        if not in_budget():
+            break
         try:
             details[kname] = bench_stage_kernel(stage, material)
         except Exception as e:
             details[kname] = {"error": repr(e)}
         save()
 
-    if force or "realtime_latency" not in details:
+    aux_tiers = [("realtime_latency", bench_realtime_latency),
+                 ("realtime_streams", bench_realtime_streams),
+                 ("pipelined_latency", bench_pipelined_latency),
+                 ("serve_e2e", bench_serve_e2e),
+                 ("serve_meter", bench_serve_meter),
+                 ("mixed_materials", bench_mixed_materials)]
+    for tname, fn in aux_tiers:
+        if not force and tname in details:
+            continue
+        if not in_budget():
+            details.setdefault(
+                tname, {"skipped": f"bench budget {budget_s:.0f}s exhausted"})
+            continue
         try:
-            details["realtime_latency"] = bench_realtime_latency()
+            details[tname] = fn()
         except Exception as e:
-            details["realtime_latency"] = {"error": repr(e)}
+            details[tname] = {"error": repr(e)}
         save()
 
-    if force or "realtime_streams" not in details:
-        try:
-            details["realtime_streams"] = bench_realtime_streams()
-        except Exception as e:
-            details["realtime_streams"] = {"error": repr(e)}
-        save()
-
-    if force or "pipelined_latency" not in details:
-        try:
-            details["pipelined_latency"] = bench_pipelined_latency()
-        except Exception as e:
-            details["pipelined_latency"] = {"error": repr(e)}
-        save()
-    if force or "serve_e2e" not in details:
-        try:
-            details["serve_e2e"] = bench_serve_e2e()
-        except Exception as e:
-            details["serve_e2e"] = {"error": repr(e)}
-        save()
-    if force or "serve_meter" not in details:
-        try:
-            details["serve_meter"] = bench_serve_meter()
-        except Exception as e:
-            details["serve_meter"] = {"error": repr(e)}
-        save()
-    if force or "mixed_materials" not in details:
-        try:
-            details["mixed_materials"] = bench_mixed_materials()
-        except Exception as e:
-            details["mixed_materials"] = {"error": repr(e)}
-        save()
-
-    # the headline renders audio (score_only drops the output — a different
-    # workload, reported in details but never as the headline)
-    candidates = [v for k, v in details.items()
-                  if k.startswith("full_chain") and "score_only" not in k
-                  and isinstance(v, dict) and "audio_sec_per_sec" in v]
-    value = max((float(v["audio_sec_per_sec"]) for v in candidates),
-                default=0.0)
-    print(json.dumps({
-        "metric": "full-chain audio-sec/sec/chip @48kHz stereo (7 plugins, "
-                  "pre+post analysis)",
-        "value": round(value, 1),
-        "unit": "audio-sec/sec",
-        "vs_baseline": round(value / TARGET_X_REALTIME, 3),
-    }))
+    save()
+    # reprint with everything measured this run folded in (the driver
+    # takes the last JSON line; the early print covers timeouts)
+    _print_headline(details)
 
 
 if __name__ == "__main__":
