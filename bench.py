@@ -123,6 +123,18 @@ def bench_config(stages, batch, fused=False, iters=3):
                                                metrics="final",
                                                return_audio=False)
             return jnp.sum(ms[-1]["score"]), ()
+    elif fused == "chain_relaxed":
+        # fidelity="relaxed": block-parallel associative executor
+        # (runtime/relaxed.py) — audio within -90 dBFS of exact on the
+        # canonical chain (tests/test_relaxed.py), scores within 0.01
+        from juicy_tpu.runtime.relaxed import relaxed_chain_stream
+
+        @jax.jit
+        def run_batch(cs):
+            states = jax.vmap(lambda _: chain.init_state())(
+                jnp.arange(cs.shape[0]))
+            out, _st, _m = relaxed_chain_stream(chain, states, cs)
+            return jnp.sum(out[..., -1]), out.shape
     elif fused == "chain_fused":
         from juicy_tpu.runtime.chain_fused import fused_chain_stream
 
@@ -743,6 +755,14 @@ def main():
              8192, "chain_kernel_tiles_score"),
             ("full_chain_fusedx", CONFIGS["full_chain"], BATCH,
              "chain_fused")]
+    # fidelity="relaxed" tier (runtime/relaxed.py): numerically certified
+    # (tests/test_relaxed.py) but measured 20x realtime on this chip at
+    # B=256 (XLA associative-scan lowering is op-launch-bound and the
+    # TPU worker crashes at B>=1024) — the measured negative result is
+    # recorded in BASELINE.md; opt in explicitly to re-measure:
+    if os.environ.get("JUICY_BENCH_RELAXED"):
+        jobs += [("full_chain_relaxed_b256", CONFIGS["full_chain"], 256,
+                  "chain_relaxed")]
     jobs += [(name, stages, BATCH, False) for name, stages in CONFIGS.items()]
     # chain batch sweep: the heavier stages stop scaling past a few thousand
     # clips, so the chain optimum may differ from the single-plugin optimum.
