@@ -192,14 +192,30 @@ def _check_chain(chain) -> int:
             raise ChainKernelUnsupported(
                 "traced-material chain without concrete material values "
                 "cannot select a kernel code path")
-        vals = set(np.unique(np.asarray(
-            jax.device_get(mat)).astype(np.int32)).tolist())
+        matv = np.asarray(jax.device_get(mat)).astype(np.int32).ravel()
+        vals = set(np.unique(matv).tolist())
         if vals <= {0, 1, 4}:
             return sk.TEX_PACKED
+        if vals <= {2, 3}:
+            # MERGED WAVE launch: wood + plastic tiles share one
+            # pallas_call, each grid row reading its own material's
+            # constant row (incl. the structural ring delay) from a
+            # per-grid-row SMEM pvec. Requires every clip TILE to be
+            # single-material (the grouped corpus runner sorts/pads so).
+            if matv.shape[0] % sk.TILE:
+                raise ChainKernelUnsupported(
+                    f"merged wave materials need a {sk.TILE}-aligned "
+                    f"batch (got {matv.shape[0]} clips)")
+            rows = matv.reshape(-1, sk.TILE)
+            if not (rows == rows[:, :1]).all():
+                raise ChainKernelUnsupported(
+                    "merged wave materials must be uniform within each "
+                    f"{sk.TILE}-clip tile (sort clips by material)")
+            return sk.TEX_WAVE_ROWS
         raise ChainKernelUnsupported(
-            "mixed materials incl. waveguide (wood/plastic) run on the "
-            "XLA fused executor (knob-dependent ring delay cannot pack "
-            "per lane)")
+            "mixed materials spanning wave and nonwave sets run on the "
+            "XLA fused executor (per-lane wave/nonwave selection is a "
+            "traced-material code path)")
     return max(0, min(4, mode))
 
 
@@ -366,25 +382,30 @@ def _front_kernel(mode, n, c, unroll, sr, H, L,
     # pvec via `nexts`.
     msub = sk.MSUB
     csub = c * msub
-    wave = mode in (2, 3)
+    wave = mode in sk.WAVE_MODES
     one = jnp.float32(1.0)
     half = jnp.float32(0.5)
     P = [0]
     rowp = rows_ref is not None
+    # MERGED wave launch: the pvec arrives as the FULL [G, W] SMEM array
+    # (Mosaic rejects sub-8 per-row SMEM blocks) and each grid step reads
+    # its own tile's material row; every other mode reads row 0 of [1, W]
+    prow = pl.program_id(0) if mode == sk.TEX_WAVE_ROWS else 0
 
     def nextp(k=1):
         if rowp:
             vals = tuple(rows_ref[pl.ds((P[0] + i) * msub, msub), :]
                          for i in range(k))
         else:
-            vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+            vals = tuple(params_ref[prow, P[0] + i] for i in range(k))
         P[0] += k
         return vals if k > 1 else vals[0]
 
     def nexts(k=1):
         """Structural entries: always the SMEM scalar (uniform by
-        contract — serve/step eligibility enforces it)."""
-        vals = tuple(params_ref[0, P[0] + i] for i in range(k))
+        contract — serve/step eligibility enforces it; per-ROW in the
+        merged wave launch, where the row is the material)."""
+        vals = tuple(params_ref[prow, P[0] + i] for i in range(k))
         P[0] += k
         return vals if k > 1 else vals[0]
 
@@ -1021,7 +1042,11 @@ def _mono_kernel(mode, n, c, unroll, sr, H, L, D,
 _TEX_NMAT = {0: 2, 1: 8, 2: 9, 3: 9, 4: 4,
              # PACKED nonwave: gel(2) + metal(8) + flesh(4) union states
              # + the per-clip mode-word tile (leaf 15, passthrough)
-             sk.TEX_PACKED: 15}
+             sk.TEX_PACKED: 15,
+             # MERGED WAVE rows: wood and plastic share the wave state
+             # layout exactly (modal y1/y2 + prev_wave) — the material
+             # lives in the per-grid-row pvec, not in state
+             sk.TEX_WAVE_ROWS: 9}
 
 
 def _front_pvec(params, states0, sr, mode: int):
@@ -1052,14 +1077,27 @@ def _front_setup(chain, states0, mode: int):
     csub = c * msub
     nmat = _TEX_NMAT[mode]
     params = [p.full_params(pr) for p, pr in zip(chain.plugins, chain.params)]
-    pvec = _front_pvec(params, states0, sr, mode)[None]
+    if mode == sk.TEX_WAVE_ROWS:
+        # one pvec ROW PER GRID TILE: the wood and plastic const rows are
+        # identical in layout (tex_unpack's wave branch), so the merged
+        # launch just gathers the right row per tile — the row's consts
+        # (incl. the structural ring delay, read via `nexts`) ARE the
+        # material. _kernel_mode validated tile-uniformity.
+        matv = np.asarray(jax.device_get(
+            chain.params[2]["material"])).astype(np.int32).ravel()
+        rowmat = jnp.asarray(matv.reshape(-1, sk.TILE)[:, 0] == 2)
+        row_w = _front_pvec(params, states0, sr, 2)
+        row_p = _front_pvec(params, states0, sr, 3)
+        pvec = jnp.where(rowmat[:, None], row_w[None], row_p[None])
+    else:
+        pvec = _front_pvec(params, states0, sr, mode)[None]
 
     from juicy_tpu.ops.noise import _jump_coefficients
     a_np, b_np = _jump_coefficients(c * n)
     lcg_a = jnp.asarray(a_np)[None]
     lcg_b = jnp.asarray(b_np)[None]
 
-    wave = mode in (2, 3)
+    wave = mode in sk.WAVE_MODES
     L = _texture.waveguide_size(sr) if wave else 0
     H = sk._tex_hist_len(mode, sr) if wave else 0
     dims = dict(wave=wave, L=L, H=H, nmat=nmat,
@@ -1289,10 +1327,18 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
                bwin_ref, bl_ref, dma_sem, frows_ref=frows_ref,
                brows_ref=brows_ref)
 
-    def smem(w):
-        return pl.BlockSpec((1, w), lambda i: (0, 0),
+    def smem(w, rows_n=1):
+        # rows_n > 1: the merged-wave launch ships the FULL [G, W] pvec
+        # as one SMEM block (Mosaic requires whole-array SMEM blocks) and
+        # the kernel indexes its row by pl.program_id
+        return pl.BlockSpec((rows_n, w), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
+    fp_rows = fpvec.shape[0]
+    if fp_rows > 1 and fp_rows != grid:
+        raise ChainKernelUnsupported(
+            f"per-row pvec has {fp_rows} rows for a {grid}-tile "
+            f"grid (batch {bsz}) — material rows must match the batch")
     ts = sk._tilespec
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     row_specs = ([ts(fpvec.shape[1] * msub), ts(bpvec.shape[1] * msub)]
@@ -1303,7 +1349,8 @@ def _mono_machinery(chain, states0, mode: int, bsz: int, unroll: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         in_specs=[
-            smem(fpvec.shape[1]), smem(c * n), smem(c * n), smem(1),
+            smem(fpvec.shape[1], rows_n=fp_rows), smem(c * n),
+            smem(c * n), smem(1),
             smem(bpvec.shape[1]),
             ts(n * csub), ts(2 * csub), ts(csub), ts(9 * csub),
             ts(nmat * csub), ts(msub), ts(11 * msub), ts(3 * csub),
@@ -1414,7 +1461,7 @@ def _pvec_row_tiles(chain, states0, mode: int, bsz: int, params_rows):
 def rows_ineligible_params(chain) -> set:
     mode = _check_chain(chain)
     bad = {(4, "haasMs")}
-    if mode in (2, 3):
+    if mode in sk.WAVE_MODES:
         bad |= {(2, k) for k in chain.plugins[2].full_params(
             chain.params[2])}
     if mode == sk.TEX_PACKED:
@@ -1658,6 +1705,10 @@ def chain_kernel_step(chain, states: Sequence[Dict[str, Any]],
     states = list(states)
 
     rows = params_rows is not None
+    if rows and mode == sk.TEX_WAVE_ROWS:
+        raise ChainKernelUnsupported(
+            "per-stream parameter rows are unsupported on a MERGED wave "
+            "launch (texture knobs are structural in wave modes)")
     fpack, bpack, mcall, funpack, bunpack = _mono_machinery(
         chain, states, mode, bsz, unroll, interpret, rows=rows)
     an_states = [states[i]["analyzer"] for i in range(7)]
@@ -1771,6 +1822,12 @@ def chain_kernel_stream(chain, states, clips, metrics: str = "blocks",
             raise ChainKernelUnsupported(
                 "texture material is structural (selects the compiled "
                 "code path) and cannot be automated on the kernel path")
+        if mode == sk.TEX_WAVE_ROWS:
+            raise ChainKernelUnsupported(
+                "per-block automation is unsupported on a MERGED wave "
+                "launch (the per-grid-row pvec already occupies the "
+                "parameter row) — run wave materials as separate "
+                "single-material groups to automate them")
         full = [dict(p.full_params(pr))
                 for p, pr in zip(chain.plugins, chain.params)]
         for i, curves in automation.items():

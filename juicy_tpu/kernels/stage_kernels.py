@@ -422,14 +422,26 @@ _TEX_NMODES = 4
 #: their ring delay depends on knobs (texture/weight, cpp:174/189), and a
 #: per-lane delay would need per-lane row gathers Mosaic doesn't do.
 TEX_PACKED = 5
+#: Pseudo-material for the chain kernel's MERGED WAVE launch: wood and
+#: plastic tiles share ONE pallas_call, each grid row reading its own
+#: material's constant row (incl. the structural ring delay) from a
+#: per-grid-row SMEM pvec — the two materials' kernel bodies are the
+#: SAME code after the shared-injection unification above, so no per-lane
+#: select is needed; the row's consts ARE the material. Rows must be
+#: single-material (TILE-aligned grouping, parallel/corpus.py).
+TEX_WAVE_ROWS = 6
+#: modes that run the waveguide body (sliding history window machinery)
+WAVE_MODES = (2, 3, TEX_WAVE_ROWS)
 # np scalar: module-level jnp constants are device arrays, which
 # pallas kernels reject as captured consts
 TWO_PI32 = _np.float32(2.0 * 3.14159265358979323846)
 
 
 def _tex_hist_len(mode: int, sr: float) -> int:
-    """Static history depth >= the max possible waveguide delay + 2."""
-    if mode == 2:
+    """Static history depth >= the max possible waveguide delay + 2.
+    TEX_WAVE_ROWS carries BOTH materials, so it sizes for the larger
+    (wood) delay; plastic rows simply keep more history than they read."""
+    if mode in (2, TEX_WAVE_ROWS):
         return int(sr / 92.0) + 4      # cavity_hz >= 92 (cpp:174)
     return int(sr / 210.0) + 4         # tube_hz >= 210 (cpp:189)
 
@@ -479,7 +491,7 @@ def tex_unpack(nextp, mode: int, nexts=None):
         mc["gains"] = nextp(nm)
         mc["hz_cap"] = nextp()
         mc["th_scale"] = nextp()
-    elif mode in (2, 3):
+    elif mode in WAVE_MODES:
         mc["a1s"] = nextp(nm)
         mc["a2s"] = nextp(nm)
         mc["gains"] = nextp(nm)
@@ -529,7 +541,7 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
     identical to texture.make_sample_step (JuicyTexture cpp:107-277).
     `window_ref` is the VMEM sliding waveguide window (wave modes only)."""
     csub = _csub(c)
-    wave = mode in (2, 3)
+    wave = mode in WAVE_MODES
     one = jnp.float32(1.0)
     nm = _TEX_NMODES
     if wave:
@@ -690,12 +702,15 @@ def make_tex_sample(mode: int, kc, mc, c: int, window_ref, H: int, L: int):
             v0 = window_ref[pl.ds(base, csub), :]
             v1 = window_ref[pl.ds(base + csub, csub), :]
             delayed = v0 + frac * (v1 - v0)
-            if mode == 2:
-                new_wave = damp * (wg_m0 * delayed + wg_m1 * prev_wave) \
-                    + exc * (exc_b0 + exc_b1 * body)
-            else:
-                new_wave = damp * (wg_m0 * delayed + wg_m1 * prev_wave) \
-                    + exc_b0 * exc
+            # one shared injection form for BOTH waveguide materials:
+            # wood passes (0.09, 0.04) (cpp:180), plastic passes
+            # (exc_in_scale, 0.0) (cpp:196) — with exc_b1 = 0 this is
+            # bit-identical to the plastic scan path's exc_b0 * exc
+            # (x + (+/-0.0) == x and f32 multiply commutes), which is what
+            # lets wood and plastic rows share ONE kernel body in the
+            # merged wave launch (TEX_WAVE_ROWS)
+            new_wave = damp * (wg_m0 * delayed + wg_m1 * prev_wave) \
+                + exc * (exc_b0 + exc_b1 * body)
             wbase = pl.multiple_of((H + t) * csub, 8)
             window_ref[pl.ds(wbase, csub), :] = new_wave
 
@@ -883,7 +898,7 @@ def texture_kernel_state(state, sr: float, mode: int):
     becomes a sliding history window of the last H samples (newest-last).
     Ring entries older than H are unreachable (delay <= H by construction,
     cpp:174/189), so no audio-relevant information is lost."""
-    if mode not in (2, 3):
+    if mode not in WAVE_MODES:
         return state
     st = dict(state)
     wg = state["waveguide"]
@@ -897,7 +912,7 @@ def texture_kernel_state(state, sr: float, mode: int):
 def texture_ring_state(state, sr: float, mode: int, L: int):
     """Kernel-path state -> standard ring state (unreachable ring entries
     zeroed — never read since delay <= H)."""
-    if mode not in (2, 3):
+    if mode not in WAVE_MODES:
         return state
     st = dict(state)
     hist = state["waveguide"]
@@ -989,7 +1004,7 @@ def tex_mat_leaves(dsp, mode: int):
     if mode == 1:
         return [dsp["modal_y1"][..., k] for k in range(nm)] + \
                [dsp["modal_y2"][..., k] for k in range(nm)]
-    if mode in (2, 3):
+    if mode in WAVE_MODES:
         return [dsp["modal_y1"][..., k] for k in range(nm)] + \
                [dsp["modal_y2"][..., k] for k in range(nm)] + \
                [dsp["prev_wave"]]
@@ -1023,7 +1038,7 @@ def tex_rebuild_dsp(dsp, dsp_leaves, mat_out, mode: int, newhist, bsz: int,
     elif mode == 1:
         new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
         new_dsp["modal_y2"] = jnp.stack(mat_out[nm:], axis=-1)
-    elif mode in (2, 3):
+    elif mode in WAVE_MODES:
         new_dsp["modal_y1"] = jnp.stack(mat_out[:nm], axis=-1)
         new_dsp["modal_y2"] = jnp.stack(mat_out[nm:2 * nm], axis=-1)
         new_dsp["prev_wave"] = mat_out[2 * nm]

@@ -512,8 +512,10 @@ def run_corpus_chain(chain, clips, mesh: Optional[Mesh] = None,
 
 def _chain_with_traced_materials(chain, mats):
     """A shallow Chain copy whose texture stage carries a TRACED per-clip
-    material row ([B] values in {0, 1, 4}) — the chain kernel runs it as
-    the PACKED per-lane material lane (stage_kernels.TEX_PACKED)."""
+    material row — the chain kernel runs [B] values in {0, 1, 4} as the
+    PACKED per-lane material lane (stage_kernels.TEX_PACKED) and
+    TILE-uniform values in {2, 3} as the MERGED wave launch
+    (stage_kernels.TEX_WAVE_ROWS: per-grid-row material const rows)."""
     new = object.__new__(type(chain))
     new.__dict__.update({k: v for k, v in chain.__dict__.items()
                          if k != "jit_step"})
@@ -558,19 +560,32 @@ def _chain_with_material(chain, material: int):
     raise ValueError("chain has no texture stage to group by material")
 
 
-@partial(jax.jit, static_argnames=("lens", "baxis", "nclips", "out_shape",
+def _take_runs(v, runs, axis):
+    """Concatenate the static (start, length) runs of `v` along `axis` —
+    the real (non-padding) clip rows of a grouped sub-run. A single
+    (0, n) run is the old prefix slice; the merged wave group has one run
+    per material segment (each segment is padded to the clip tile)."""
+    if len(runs) == 1 and runs[0][0] == 0:
+        s, n = runs[0]
+        return v[:n] if axis == 0 else v[:, :n]
+    parts = [jax.lax.slice_in_dim(v, s, s + n, axis=axis)
+             for s, n in runs]
+    return jnp.concatenate(parts, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("runs", "baxis", "nclips", "out_shape",
                                    "treedef"))
-def _grouped_scatter(idxs, g_outs, ms_leaves, *, lens, baxis, nclips,
+def _grouped_scatter(idxs, g_outs, ms_leaves, *, runs, baxis, nclips,
                      out_shape, treedef):
     """Reassemble grouped sub-run audio/metrics into corpus order — one
     compiled device dispatch (index-update scatters + in-jit aggregation)
-    instead of per-leaf host round trips. Padding lanes (`lens[g]:`) never
-    reach the output or the aggregates."""
+    instead of per-leaf host round trips. Padding lanes (rows outside
+    `runs[g]`) never reach the output or the aggregates."""
     out = None
     if out_shape is not None:
         out = jnp.zeros(out_shape, g_outs[0].dtype)
-        for ix, g, n in zip(idxs, g_outs, lens):
-            out = out.at[ix].set(g[:n])
+        for ix, g, rn in zip(idxs, g_outs, runs):
+            out = out.at[ix].set(_take_runs(g, rn, 0))
     ms = agg = None
     if ms_leaves:
         full_leaves = []
@@ -579,11 +594,11 @@ def _grouped_scatter(idxs, g_outs, ms_leaves, *, lens, baxis, nclips,
             shape = list(leaves[0].shape)
             shape[baxis] = nclips
             full = jnp.zeros(shape, leaves[0].dtype)
-            for ix, leaf, n in zip(idxs, leaves, lens):
+            for ix, leaf, rn in zip(idxs, leaves, runs):
                 if baxis == 0:
-                    full = full.at[ix].set(leaf[:n])
+                    full = full.at[ix].set(_take_runs(leaf, rn, 0))
                 else:
-                    full = full.at[:, ix].set(leaf[:, :n])
+                    full = full.at[:, ix].set(_take_runs(leaf, rn, 1))
             full_leaves.append(full)
         ms = jax.tree.unflatten(treedef, full_leaves)
         agg = corpus_metrics(ms[-1])
@@ -636,12 +651,26 @@ def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
         rest = np.unique(values[~nonwave])
     else:
         rest = np.unique(values)
+    rest = [int(v) for v in rest]
+    # MERGED WAVE launch (sk.TEX_WAVE_ROWS): wood and plastic tiles share
+    # ONE kernel dispatch — clips sort into single-material clip tiles and
+    # each grid row reads its own material's const row (incl. the
+    # structural ring delay) from a per-grid-row SMEM pvec. Halves the
+    # wave-side launches and doubles their batch amortization vs
+    # per-material grouping. Single-device like the packed lane (the
+    # per-row pvec is built from the global material row; a sharded
+    # merged launch would need the rows as a shard_map operand).
+    if (kernel_possible and automation is None and n_dev == 1
+            and 2 in rest and 3 in rest):
+        group_list.append(("wave_rows", None))
+        rest = [v for v in rest if v not in (2, 3)]
     group_list += [(int(v), np.nonzero(values == v)[0]) for v in rest]
 
     # whole-corpus single group in original order (an all-nonwave mix, or
     # a degenerate single-material row): dispatch DIRECTLY — no gather, no
     # padding, no scatter program, aggregation stays in the sub-run's jit
-    if len(group_list) == 1 and clips.shape[0] % granule == 0:
+    if (len(group_list) == 1 and clips.shape[0] % granule == 0
+            and group_list[0][0] != "wave_rows"):
         v, idx = group_list[0]
         gchain = (_chain_with_traced_materials(chain,
                                                values.astype(np.float32))
@@ -651,23 +680,50 @@ def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
             use_kernel=use_kernel, automation=automation,
             return_audio=return_audio, _interpret=_interpret)
 
-    runs = []        # (corpus idx row, device g_out, device g_ms) per group
+    tile = sk.TILE
+    runs = []   # (corpus idx row, device g_out, device g_ms, src runs)
     for v, idx in group_list:
-        sub = jnp.take(clips, jnp.asarray(idx), axis=0)
-        pad = (-len(idx)) % granule
-        if pad:
-            sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
-        if v == "packed":
-            mats = np.zeros(len(idx) + pad, np.float32)   # pad = gel lanes
-            mats[:len(idx)] = values[idx]
+        if v == "wave_rows":
+            # wood segment then plastic segment, each padded to the clip
+            # tile so every grid row is single-material; the trailing
+            # granule pad rides the plastic segment
+            idx_w = np.nonzero(values == 2)[0]
+            idx_p = np.nonzero(values == 3)[0]
+            pad_w = (-len(idx_w)) % tile
+            pad_p = (-len(idx_p)) % tile
+            pad_p += (-(len(idx_w) + pad_w + len(idx_p) + pad_p)) % granule
+
+            def seg(ixs, pad):
+                s = jnp.take(clips, jnp.asarray(ixs), axis=0)
+                return (jnp.pad(s, ((0, pad), (0, 0), (0, 0))) if pad
+                        else s)
+
+            sub = jnp.concatenate([seg(idx_w, pad_w), seg(idx_p, pad_p)],
+                                  axis=0)
+            mats = np.concatenate(
+                [np.full(len(idx_w) + pad_w, 2.0, np.float32),
+                 np.full(len(idx_p) + pad_p, 3.0, np.float32)])
             gchain = _chain_with_traced_materials(chain, mats)
+            idx = np.concatenate([idx_w, idx_p])
+            g_runs = ((0, len(idx_w)),
+                      (len(idx_w) + pad_w, len(idx_p)))
         else:
-            gchain = _chain_with_material(chain, int(v))
+            sub = jnp.take(clips, jnp.asarray(idx), axis=0)
+            pad = (-len(idx)) % granule
+            if pad:
+                sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
+            if v == "packed":
+                mats = np.zeros(len(idx) + pad, np.float32)  # pad = gel
+                mats[:len(idx)] = values[idx]
+                gchain = _chain_with_traced_materials(chain, mats)
+            else:
+                gchain = _chain_with_material(chain, int(v))
+            g_runs = ((0, len(idx)),)
         g_out, g_ms, _agg = run_corpus_chain(
             gchain, sub, mesh=mesh, metrics=metrics, use_kernel=use_kernel,
             automation=automation, return_audio=return_audio,
             _interpret=_interpret)
-        runs.append((idx, g_out, g_ms))
+        runs.append((idx, g_out, g_ms, g_runs))
 
     # ONE jitted scatter reassembles corpus order ON DEVICE and computes
     # the aggregate in-jit (cached by jax.jit on shapes/statics, so repeat
@@ -678,13 +734,13 @@ def _run_corpus_chain_grouped(chain, clips, materials, mesh, metrics,
     has_ms = runs[0][2] is not None
     if not return_audio and not has_ms:
         return None, None, None
-    idxs = tuple(jnp.asarray(idx, jnp.int32) for idx, _, _ in runs)
+    idxs = tuple(jnp.asarray(idx, jnp.int32) for idx, _, _, _ in runs)
     out, ms, agg = _grouped_scatter(
         idxs,
-        tuple(g for _, g, _ in runs) if return_audio else (),
-        tuple(tuple(jax.tree.leaves(g)) for _, _, g in runs)
+        tuple(g for _, g, _, _ in runs) if return_audio else (),
+        tuple(tuple(jax.tree.leaves(g)) for _, _, g, _ in runs)
         if has_ms else (),
-        lens=tuple(len(idx) for idx, _, _ in runs),
+        runs=tuple(rn for _, _, _, rn in runs),
         baxis=1 if metrics == "blocks" else 0,
         nclips=int(clips.shape[0]),
         out_shape=tuple(clips.shape) if return_audio else None,

@@ -154,31 +154,24 @@ class StreamServer:
             and (self.max_streams // n_dev) % sk.TILE == 0
             and (jax.devices()[0].platform == "tpu" or _interpret))
 
-        # the kernel tick runs in TILE layout end-to-end: the host batch
-        # is assembled directly in the kernel's [G, rows, 128] stream-tile
-        # order (same bytes, different offsets — what a native bridge's
-        # batch assembly does for free), so the device never pays the
-        # per-tick to_stream/from_stream transposes
+        # the kernel tick takes the flat slot-major [S, C, N] pool and
+        # repacks to kernel-tile layout ON-DEVICE inside the tick's jit
+        # (layout="bct": sk.to_stream/from_stream — XLA's tiled-transpose
+        # emitter, ~1 ms at K=16384 vs the tens-of-ms host 6-D numpy
+        # transpose it replaces): the host's per-tick work is O(submitted
+        # bytes), which is what the co-located capacity claim assumes
         def _tick_shared(states, blocks):
             if self._kernel_tick:
                 return ck.chain_kernel_step(chain, states, blocks,
-                                            layout="tiles",
+                                            layout="bct",
                                             interpret=_interpret)
             return fused_chain_step(chain, states, blocks,
                                     metrics=self.metrics)
 
-        if self._kernel_tick:
-            c, n, msub = chain.channels, chain.block_size, sk.MSUB
-            self._tile_dims = (self.max_streams // sk.TILE,
-                               n * c * msub, sk.LANES)
-            # [C, N] -> tile-row index pattern for one slot (lane fixed)
-            self._tile_rows = ((np.arange(n)[None, :] * c
-                                + np.arange(c)[:, None]) * msub)
         # persistent assembly pool: submit()/submit_many() write INTO this
         # slot-major [S, C, N] buffer directly (a fancy-index write per
-        # call — no per-tick dict staging or re-stack), then the tick
-        # repacks the whole pool to kernel-tile layout with ONE transpose
-        # (the corpus_to_tiles mapping) — no per-slot Python loop anywhere
+        # call — no per-tick dict staging or re-stack); the tick snapshots
+        # it with ONE flat memcpy — no per-slot Python loop anywhere
         self._assembly = np.zeros(
             (self.max_streams, chain.channels, chain.block_size),
             self._wire_np)
@@ -195,7 +188,7 @@ class StreamServer:
 
         def _tick_rows_kernel(states, blocks, params):
             return ck.chain_kernel_step(chain, states, blocks,
-                                        layout="tiles", interpret=_interpret,
+                                        layout="bct", interpret=_interpret,
                                         params_rows=params)
 
         def _wire_fn(fn):
@@ -339,16 +332,15 @@ class StreamServer:
         (`rows=False` skips them), and — when a rows-ineligible edit could
         force it — the fused fallback. Slot states are not advanced."""
         zeros = np.zeros_like(self._assembly)
-        tiles = self._pool_to_tiles(zeros) if self._kernel_tick else zeros
 
         def run(fn, blocks, *extra):
             res = fn(self._states, self._shard(jnp.asarray(blocks)), *extra)
             np.asarray(jax.tree_util.tree_leaves(res)[0])  # force completion
 
-        run(self._tick_shared, tiles)
+        run(self._tick_shared, zeros)
         if rows:
             if self._kernel_tick:
-                run(self._tick_rows_kernel, tiles, self._params)
+                run(self._tick_rows_kernel, zeros, self._params)
                 if self._rows_ineligible:
                     run(self._tick_rows, zeros, self._params)
             else:
@@ -411,25 +403,6 @@ class StreamServer:
         self._staged.clear()
         return sids
 
-    def _pool_to_tiles(self, pool):
-        """[S, C, N] pool -> kernel stream tiles [G, N*C*MSUB, 128] (the
-        corpus_to_tiles element mapping, single-block form)."""
-        from juicy_tpu.kernels import stage_kernels as sk
-        s, c, n = pool.shape
-        g = s // sk.TILE
-        return np.ascontiguousarray(
-            pool.reshape(g, sk.MSUB, sk.LANES, c, n)
-            .transpose(0, 4, 3, 1, 2)).reshape(g, n * c * sk.MSUB, sk.LANES)
-
-    def _tiles_to_pool(self, tiles):
-        """Inverse of _pool_to_tiles: [G, N*C*MSUB, 128] -> [S, C, N]."""
-        from juicy_tpu.kernels import stage_kernels as sk
-        c, n = self.chain.channels, self.chain.block_size
-        g = tiles.shape[0]
-        return np.ascontiguousarray(
-            tiles.reshape(g, n, c, sk.MSUB, sk.LANES)
-            .transpose(0, 3, 4, 2, 1)).reshape(g * sk.TILE, c, n)
-
     def _device_dispatch(self, sids):
         """Dispatch one device step over the assembled pool WITHOUT
         fetching results. Advances slot states; returns
@@ -441,11 +414,10 @@ class StreamServer:
                            and not (edited & self._rows_ineligible))
         else:
             kernel_path = self._kernel_tick
-        # snapshot the pool: _pool_to_tiles copies by construction; the
-        # fused path copies explicitly because jnp.asarray can be
-        # zero-copy on CPU and an async tick must not see later submits
-        blocks = (self._pool_to_tiles(self._assembly) if kernel_path
-                  else self._assembly.copy())
+        # snapshot the pool with one flat memcpy: jnp.asarray can be
+        # zero-copy on CPU and an async tick must not see later submits;
+        # the kernel layout repack happens on-device inside the tick's jit
+        blocks = self._assembly.copy()
         jblocks = self._shard(jnp.asarray(blocks))
         if not self._custom_slots:
             out, self._states, metrics_list = self._tick_shared(
@@ -461,13 +433,10 @@ class StreamServer:
     def _device_tick(self, sids):
         """Run one device step over the assembled pool, blocking. Returns
         (submitted audio [K, C, N] | None, metrics_list)."""
-        out, metrics_list, kernel_path = self._device_dispatch(sids)
+        out, metrics_list, _kernel_path = self._device_dispatch(sids)
         if out is None:                       # metering rail: scores only
             return None, metrics_list
-        out_np = np.asarray(out)
-        if kernel_path:
-            out_np = self._tiles_to_pool(out_np)
-        return out_np[sids], metrics_list
+        return np.asarray(out)[sids], metrics_list
 
     def tick_arrays(self):
         """One batched device step over every submitted block — bulk form.
@@ -554,10 +523,7 @@ class TickHandle:
             if self._out is None:             # metering rail: scores only
                 audio = None
             else:
-                out_np = np.asarray(self._out)
-                if self._kernel_path:
-                    out_np = self._srv._tiles_to_pool(out_np)
-                audio = out_np[self._sids]
+                audio = np.asarray(self._out)[self._sids]
             if self._metrics is not None:
                 last = self._metrics[-1]
                 scores = np.asarray(last["score"])[self._sids]

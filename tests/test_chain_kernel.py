@@ -436,3 +436,50 @@ def test_chain_kernel_packed_nonwave_materials(rng):
         db = residual_dbfs(np.asarray(out_k)[lanes],
                            np.asarray(out_s)[lanes])
         assert db <= -80.0, f"packed lane != static mode {mode}: {db:.1f}"
+
+
+@pytest.mark.slow
+def test_chain_kernel_merged_wave_rows(rng):
+    """MERGED WAVE launch (VERDICT r4 item 4, sk.TEX_WAVE_ROWS): wood and
+    plastic clip tiles share ONE pallas_call, each grid row reading its
+    own material's constant row (incl. the structural ring delay) from
+    the per-grid-row SMEM pvec. The wave kernel body is the SAME code for
+    both materials (shared-injection form, stage_kernels make_tex_sample),
+    so each row must reproduce its static-material kernel run — same
+    formulas in two compiled programs, the -80 dBFS path-vs-path class
+    (observed much tighter: the bodies are op-for-op identical)."""
+    from juicy_tpu.kernels import chain_kernel as ck
+
+    b, n, nb = 256, 64, 2
+    mats = np.concatenate([np.full(128, 2.0, np.float32),
+                           np.full(128, 3.0, np.float32)])
+    chain = _mk(CHAIN, n)
+    chain.plugins[2] = chain.plugins[2].with_traced("material")
+    chain.params[2]["material"] = mats
+    assert ck._check_chain(chain) == sk.TEX_WAVE_ROWS
+
+    states = jax.vmap(lambda _: chain.init_state())(jnp.arange(b))
+    clips = jnp.asarray(_clips(rng, b, n * nb))
+    out_m, st_m, m_m = ck.chain_kernel_stream(chain, states, clips,
+                                              unroll=4, interpret=True)
+    for mode in (2, 3):
+        solo = _mk(CHAIN, n)
+        solo.plugins[2] = solo.plugins[2].with_static(material=mode)
+        st_s = jax.vmap(lambda _: solo.init_state())(jnp.arange(b))
+        out_s, st_ss, m_s = ck.chain_kernel_stream(solo, st_s, clips,
+                                                   unroll=4,
+                                                   interpret=True)
+        lanes = mats == float(mode)
+        db = residual_dbfs(np.asarray(out_m)[lanes],
+                           np.asarray(out_s)[lanes])
+        assert db <= -80.0, f"merged row != static mode {mode}: {db:.1f}"
+        assert float(np.max(np.abs(
+            np.asarray(m_m[-1]["score"])[:, lanes]
+            - np.asarray(m_s[-1]["score"])[:, lanes]))) <= 1e-3
+
+    # a non-tile-aligned material row must NOT select the merged path
+    bad = _mk(CHAIN, n)
+    bad.plugins[2] = bad.plugins[2].with_traced("material")
+    bad.params[2]["material"] = np.asarray([2.0, 3.0] * 128, np.float32)
+    with pytest.raises(ck.ChainKernelUnsupported):
+        ck._check_chain(bad)

@@ -558,3 +558,59 @@ def test_sharded_tiles_layout_corpus_matches_bct(rng):
                              layout="tiles", _interpret=True)
     finally:
         sk.TILE, sk.MSUB = tile, msub
+
+
+def test_corpus_grouped_planner_wave_rows(rng):
+    """Grouped-corpus PLANNER contract (no device work — the executor is
+    stubbed): a 5-material mix builds exactly TWO kernel sub-runs — the
+    packed nonwave group and the MERGED wave group (wood tiles then
+    plastic tiles, each segment padded to the clip tile) — and the
+    run-aware scatter maps every real clip back to its corpus slot while
+    padding rows never leak."""
+    import juicy_tpu.kernels.stage_kernels as sk
+    import juicy_tpu.parallel.corpus as pc
+    from juicy_tpu.runtime.plugin import Chain
+
+    tile, msub = sk.TILE, sk.MSUB
+    sk.TILE, sk.MSUB = 128, 1
+    real_run = pc.run_corpus_chain
+    try:
+        stages = [("punch", None), ("saturator", None), ("texture", None),
+                  ("motion", None), ("width", None), ("cohere", None),
+                  ("infer", None)]
+        chain = Chain(stages, sr=48000.0, channels=2, block_size=128)
+        b = 500
+        clips = np.arange(b * 2 * 128, dtype=np.float32).reshape(b, 2, 128)
+        mats = (np.arange(b) % 5).astype(np.int64)
+        calls = []
+
+        def stub(gchain, sub, **kw):
+            mat = np.asarray(gchain.params[2].get("material", -1.0))
+            calls.append((mat.copy() if mat.ndim else float(mat),
+                          tuple(sub.shape)))
+            return jnp.asarray(sub), None, None   # identity executor
+
+        pc.run_corpus_chain = stub
+        single = Mesh(np.array(jax.devices()[:1]), ("data",))
+        out, ms, agg = pc._run_corpus_chain_grouped(
+            chain, jnp.asarray(clips), mats, mesh=single, metrics=None,
+            use_kernel="auto", automation=None, return_audio=True,
+            _interpret=True)
+    finally:
+        pc.run_corpus_chain = real_run
+        sk.TILE, sk.MSUB = tile, msub
+
+    # exactly two kernel sub-runs: packed nonwave + merged wave
+    assert len(calls) == 2, [c[1] for c in calls]
+    packed_mat, packed_shape = calls[0]
+    wave_mat, wave_shape = calls[1]
+    # nonwave group: 300 clips of {0,1,4} padded to the tile
+    assert packed_shape[0] == 384 and set(np.unique(packed_mat)) <= {0, 1, 4}
+    # merged wave group: wood segment (100 -> 128) then plastic
+    # (100 -> 128), every 128-clip tile single-material
+    assert wave_shape[0] == 256
+    rows = np.asarray(wave_mat).reshape(-1, 128)
+    assert (rows == rows[:, :1]).all()
+    assert list(rows[:, 0]) == [2.0, 3.0]
+    # identity executor + run-aware scatter == the original corpus rows
+    np.testing.assert_array_equal(np.asarray(out), clips)
